@@ -1,0 +1,432 @@
+"""Diffusion process math: schedules, posteriors, samplers.
+
+Semantics-compatible with the reference implementation
+(/root/reference/music_spectrogram_diffusion/models/diffusion/diffusion_utils.py),
+re-designed for TPU:
+
+* Configs are immutable, hashable plain dataclasses so they can be closed
+  over by `jax.jit` as static values (no tracing overhead, full constant
+  folding of schedule constants into the compiled program).
+* The reverse-process loop is a single `jax.lax.scan`, so the entire
+  1000-step sampler is one XLA program resident on device.
+* Classifier-free guidance supports a *fused* path: the conditional and
+  unconditional branches run as one batched forward (2B batch) instead of
+  two sequential module calls per step (reference: diffusion_utils.py:424-436
+  does two calls). Same math, ~half the kernel launches, bigger matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+LOGSNR_MIN = -20.0
+LOGSNR_MAX = 20.0
+
+
+# ---------------------------------------------------------------------------
+# Configs (static, hashable).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+  """A noise schedule mapping t in [0, 1] to log-SNR.
+
+  name: 'cosine' (closed form) or 'linear' (beta-linear, tabulated).
+  start/stop/num_steps: only used by the 'linear' schedule.
+  """
+  name: str = "cosine"
+  start: Optional[float] = None
+  stop: Optional[float] = None
+  num_steps: Optional[int] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+  """Classifier-free guidance (Ho & Salimans 2021)."""
+  drop_condition_prob: float = 0.1
+  eval_condition_weight: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+  name: str = "ddpm"  # 'ddpm' | 'ddim'
+  schedule: Schedule = Schedule(name="cosine")
+  num_steps: int = 1000
+  clip_x0: bool = True
+  logvar_type: str = "large"  # 'small' | 'large' | 'medium:<frac>'
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionConfig:
+  """Top-level diffusion hyperparameters (reference diffusion_utils.py:49-59)."""
+  time_sampling: str = "continuous"  # 'continuous' | 'discrete'
+  train_schedule: Schedule = Schedule(name="cosine")
+  loss_norm: str = "l1"  # 'l1' | 'l2'
+  loss_type: str = "eps"  # 'eps' | 'x0' | 'max_x0_eps' | 'x0_and_eps'
+  model_output: str = "eps"  # 'eps' | 'x0' | 'x0_and_eps' | 'v'
+  guidance: GuidanceConfig = GuidanceConfig()
+  sampler: SamplerConfig = SamplerConfig()
+
+
+# ---------------------------------------------------------------------------
+# Schedules.
+# ---------------------------------------------------------------------------
+
+
+def _linear_schedule_table(schedule: Schedule) -> Tuple[np.ndarray, np.ndarray]:
+  """Tabulated logSNR for a beta-linear schedule, computed host-side once."""
+  assert schedule.num_steps and schedule.num_steps > 0
+  betas = np.linspace(
+      schedule.start, schedule.stop, schedule.num_steps, dtype=np.float64)
+  alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
+  logsnr = np.log(alphas_cumprod) - np.log1p(-alphas_cumprod)
+  logsnr = np.clip(logsnr, LOGSNR_MIN, LOGSNR_MAX)
+  ts = np.linspace(0.0, 1.0, schedule.num_steps)
+  return ts, logsnr
+
+
+def logsnr_at(t: Array, schedule: Schedule) -> Array:
+  """log-SNR(t) for t in [0, 1]; clipped to [-20, 20].
+
+  Matches reference get_logsnr_t (diffusion_utils.py:166-202): the cosine
+  schedule is the shifted-arctan parameterisation of
+  alpha_cumprod_t = cos(t*pi/2)^2 with endpoints pinned to the clip range.
+  """
+  if schedule.name == "cosine":
+    b = np.arctan(np.exp(-0.5 * LOGSNR_MAX))
+    a = np.arctan(np.exp(-0.5 * LOGSNR_MIN)) - b
+    return -2.0 * jnp.log(jnp.tan(a * t + b))
+  elif schedule.name == "linear":
+    ts, table = _linear_schedule_table(schedule)
+    return jnp.interp(t, ts, table)
+  else:
+    raise ValueError(f"Unknown schedule: {schedule.name}")
+
+
+# ---------------------------------------------------------------------------
+# Forward / reverse processes and parameterisation conversions.
+# ---------------------------------------------------------------------------
+
+
+def bcast_left(x: Array, shape: Tuple[int, ...]) -> Array:
+  """Broadcast a (possibly scalar/batch) array against trailing dims."""
+  assert len(shape) >= x.ndim
+  return jnp.broadcast_to(x.reshape(x.shape + (1,) * (len(shape) - x.ndim)),
+                          shape)
+
+
+def log1mexp(x: Array) -> Array:
+  """log(1 - exp(-x)) for x > 0, numerically stable on both branches."""
+  return jnp.where(x > np.log(2.0), jnp.log1p(-jnp.exp(-x)),
+                   jnp.log(-jnp.expm1(-x)))
+
+
+def forward_process(x0: Array, logsnr: Array) -> Dict[str, Array]:
+  """q(z_t | x0): mean/std/var/logvar in the logSNR parameterisation."""
+  return {
+      "mean": x0 * jnp.sqrt(jax.nn.sigmoid(logsnr)),
+      "std": jnp.sqrt(jax.nn.sigmoid(-logsnr)),
+      "var": jax.nn.sigmoid(-logsnr),
+      "logvar": jax.nn.log_sigmoid(-logsnr),
+  }
+
+
+def reverse_process(x0: Array, z_t: Array, logsnr_s: Array, logsnr_t: Array,
+                    logvar_type: str) -> Dict[str, Array]:
+  """q(z_s | z_t, x0) for s < t (logsnr_s > logsnr_t), fixed variance."""
+  alpha_st = jnp.sqrt((1.0 + jnp.exp(-logsnr_t)) / (1.0 + jnp.exp(-logsnr_s)))
+  alpha_s = jnp.sqrt(jax.nn.sigmoid(logsnr_s))
+
+  r = jnp.exp(logsnr_t - logsnr_s)           # SNR(t)/SNR(s)
+  one_minus_r = -jnp.expm1(logsnr_t - logsnr_s)
+  log_one_minus_r = log1mexp(logsnr_s - logsnr_t)
+
+  mean = r * alpha_st * z_t + one_minus_r * alpha_s * x0
+
+  if logvar_type == "small":
+    var = one_minus_r * jax.nn.sigmoid(-logsnr_s)
+    logvar = log_one_minus_r + jax.nn.log_sigmoid(-logsnr_s)
+  elif logvar_type == "large":
+    var = one_minus_r * jax.nn.sigmoid(-logsnr_t)
+    logvar = log_one_minus_r + jax.nn.log_sigmoid(-logsnr_t)
+  elif logvar_type.startswith("medium:"):
+    frac = float(logvar_type.split(":")[1])
+    assert 0.0 <= frac <= 1.0
+    min_logvar = log_one_minus_r + jax.nn.log_sigmoid(-logsnr_s)
+    max_logvar = log_one_minus_r + jax.nn.log_sigmoid(-logsnr_t)
+    logvar = frac * max_logvar + (1.0 - frac) * min_logvar
+    var = jnp.exp(logvar)
+  else:
+    raise ValueError(f"Unknown logvar_type: {logvar_type}")
+
+  return {"mean": mean, "std": jnp.sqrt(var), "var": var, "logvar": logvar}
+
+
+def eps_from_x0(z: Array, x0: Array, logsnr: Array) -> Array:
+  """eps = (z - alpha*x0) / sigma."""
+  logsnr = bcast_left(logsnr, z.shape)
+  return jnp.sqrt(1.0 + jnp.exp(logsnr)) * (
+      z - x0 * jax.lax.rsqrt(1.0 + jnp.exp(-logsnr)))
+
+
+def x0_from_eps(z: Array, eps: Array, logsnr: Array) -> Array:
+  """x0 = (z - sigma*eps) / alpha."""
+  logsnr = bcast_left(logsnr, z.shape)
+  return jnp.sqrt(1.0 + jnp.exp(-logsnr)) * (
+      z - eps * jax.lax.rsqrt(1.0 + jnp.exp(logsnr)))
+
+
+def x0_from_v(z: Array, v: Array, logsnr: Array) -> Array:
+  """x0 = alpha*z - sigma*v."""
+  logsnr = bcast_left(logsnr, z.shape)
+  alpha_t = jnp.sqrt(jax.nn.sigmoid(logsnr))
+  sigma_t = jnp.sqrt(jax.nn.sigmoid(-logsnr))
+  return alpha_t * z - sigma_t * v
+
+
+def x0_eps_from_model_output(z: Array, time: Array, model_output: Array,
+                             config: DiffusionConfig) -> Dict[str, Array]:
+  """Convert the network's output to both x0 and eps parameterisations."""
+  logsnr = logsnr_at(time, config.train_schedule)
+
+  if config.model_output == "eps":
+    return {"eps": model_output,
+            "x0": x0_from_eps(z, model_output, logsnr)}
+  elif config.model_output == "x0":
+    return {"eps": eps_from_x0(z, model_output, logsnr),
+            "x0": model_output}
+  elif config.model_output == "x0_and_eps":
+    x0_direct, eps_direct = jnp.split(model_output, 2, axis=-1)
+    x0_indirect = x0_from_eps(z, eps_direct, logsnr)
+    wx = bcast_left(jax.nn.sigmoid(-logsnr), z.shape)
+    x0_out = wx * x0_direct + (1.0 - wx) * x0_indirect
+    return {"x0": x0_out, "eps": eps_from_x0(z, x0_out, logsnr)}
+  elif config.model_output == "v":
+    x0_out = x0_from_v(z, model_output, logsnr)
+    return {"x0": x0_out, "eps": eps_from_x0(z, x0_out, logsnr)}
+  else:
+    raise ValueError(f"Unknown model_output: {config.model_output}")
+
+
+# ---------------------------------------------------------------------------
+# Training.
+# ---------------------------------------------------------------------------
+
+
+def training_input(
+    rng: jax.Array, x0: Array, config: DiffusionConfig
+) -> Tuple[Array, Array, Array, Array]:
+  """Sample (z_t, eps, time, include_conditioning) for a training step.
+
+  RNG splitting order matches the reference
+  (diffusion_utils.py:236-285: eps, t, cond) for reproducibility.
+  """
+  rng_eps, rng_t, rng_cond = jax.random.split(rng, 3)
+
+  eps = jax.random.normal(rng_eps, shape=x0.shape)
+  batch_size = x0.shape[0]
+
+  if config.time_sampling == "continuous":
+    time = jax.random.uniform(rng_t, (batch_size,))
+  elif config.time_sampling == "discrete":
+    n = config.train_schedule.num_steps
+    time = jax.random.randint(rng_t, (batch_size,), 0, n)
+    time = time.astype(jnp.float32) / float(n)
+  else:
+    raise ValueError(f"Invalid time_sampling: {config.time_sampling}")
+
+  logsnr = logsnr_at(time, config.train_schedule)
+  dist = forward_process(x0, bcast_left(logsnr, x0.shape))
+  z_t = dist["mean"] + dist["std"] * eps
+
+  include_conditioning = jax.random.bernoulli(
+      rng_cond, shape=(batch_size,),
+      p=1.0 - config.guidance.drop_condition_prob)
+
+  return z_t, eps, time, include_conditioning
+
+
+def training_loss(x0: Array, eps: Array, z: Array, time: Array,
+                  model_output: Array, config: DiffusionConfig) -> Array:
+  """Per-element diffusion loss (unreduced)."""
+  outputs = x0_eps_from_model_output(z, time, model_output, config)
+
+  def norm(a, b):
+    if config.loss_norm == "l1":
+      return jnp.abs(a - b)
+    elif config.loss_norm == "l2":
+      return jnp.square(a - b)
+    raise ValueError(f"Unknown loss_norm: {config.loss_norm}")
+
+  x0_loss = norm(outputs["x0"], x0)
+  eps_loss = norm(outputs["eps"], eps)
+
+  if config.loss_type == "x0":
+    return x0_loss
+  elif config.loss_type == "eps":
+    return eps_loss
+  elif config.loss_type == "max_x0_eps":
+    return jnp.maximum(x0_loss, eps_loss)
+  elif config.loss_type == "x0_and_eps":
+    return eps_loss + x0_loss
+  raise ValueError(f"Unknown loss_type: {config.loss_type}")
+
+
+# ---------------------------------------------------------------------------
+# Sampling.
+# ---------------------------------------------------------------------------
+
+
+def ddim_update(i: Array, logsnr_s: Array, pred_x0: Array,
+                pred_eps: Array) -> Array:
+  """One DDIM step: deterministic update to z_s (returns x0 at i == 0)."""
+  logsnr_s = bcast_left(logsnr_s, pred_x0.shape)
+  std_s = jnp.sqrt(jax.nn.sigmoid(-logsnr_s))
+  alpha_s = jnp.sqrt(jax.nn.sigmoid(logsnr_s))
+  z_s = alpha_s * pred_x0 + std_s * pred_eps
+  return jnp.where(i == 0, pred_x0, z_s)
+
+
+def ddpm_update(i: Array, rng: jax.Array, logsnr_s: Array, logsnr_t: Array,
+                pred_x0: Array, z_t: Array, logvar_type: str) -> Array:
+  """One ancestral DDPM step (returns x0 at i == 0).
+
+  RNG is folded with the step index, matching reference ddpm_step
+  (diffusion_utils.py:382-395) so seeded samples are reproducible.
+  """
+  logsnr_s_b = bcast_left(logsnr_s, pred_x0.shape)
+  logsnr_t_b = bcast_left(logsnr_t, pred_x0.shape)
+  noise = jax.random.normal(
+      jax.random.fold_in(rng, i), shape=pred_x0.shape, dtype=pred_x0.dtype)
+  dist = reverse_process(pred_x0, z_t, logsnr_s_b, logsnr_t_b, logvar_type)
+  return jnp.where(i == 0, pred_x0, dist["mean"] + dist["std"] * noise)
+
+
+# A denoiser: (z_t, time) -> model_output; `guided` flavours return a pair.
+DenoiseFn = Callable[[Array, Array], Array]
+# Fused CFG denoiser: (z_t, time) -> (cond_output, uncond_output), evaluated
+# as ONE batched network forward by the caller.
+DenoisePairFn = Callable[[Array, Array], Tuple[Array, Array]]
+
+
+def sampler_step(
+    z_t: Array,
+    i: Array,
+    *,
+    rng: jax.Array,
+    config: DiffusionConfig,
+    denoise_fn: Optional[DenoiseFn] = None,
+    denoise_pair_fn: Optional[DenoisePairFn] = None,
+) -> Array:
+  """One reverse step z_t -> z_s at scan index i (t=(i+1)/N, s=i/N)."""
+  sampler = config.sampler
+  num_steps = sampler.num_steps
+  batch_size = z_t.shape[0]
+
+  t = (i + 1.0).astype(jnp.float32) / num_steps
+  s = i.astype(jnp.float32) / num_steps
+  logsnr_t = jnp.full((batch_size,), logsnr_at(t, sampler.schedule))
+  logsnr_s = jnp.full((batch_size,), logsnr_at(s, sampler.schedule))
+  time = jnp.full((batch_size,), t)
+
+  cond_wt = config.guidance.eval_condition_weight
+  use_guidance = cond_wt != 1.0
+
+  if use_guidance:
+    if denoise_pair_fn is not None:
+      cond_out, uncond_out = denoise_pair_fn(z_t, time)
+    else:
+      cond_out = denoise_fn(z_t, time, True)  # pytype: disable=wrong-arg-count
+      uncond_out = denoise_fn(z_t, time, False)  # pytype: disable=wrong-arg-count
+    cond = x0_eps_from_model_output(z_t, time, cond_out, config)
+    uncond = x0_eps_from_model_output(z_t, time, uncond_out, config)
+    pred_eps = cond_wt * cond["eps"] + (1.0 - cond_wt) * uncond["eps"]
+    pred_x0 = x0_from_eps(z_t, pred_eps, logsnr_t)
+  else:
+    if denoise_pair_fn is not None:
+      out, _ = denoise_pair_fn(z_t, time)
+    else:
+      out = denoise_fn(z_t, time, True)  # pytype: disable=wrong-arg-count
+    outputs = x0_eps_from_model_output(z_t, time, out, config)
+    pred_eps, pred_x0 = outputs["eps"], outputs["x0"]
+
+  if sampler.clip_x0:
+    pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+    pred_eps = eps_from_x0(z_t, pred_x0, logsnr_t)
+
+  if sampler.name == "ddim":
+    return ddim_update(i, logsnr_s, pred_x0, pred_eps)
+  elif sampler.name == "ddpm":
+    return ddpm_update(i, rng, logsnr_s, logsnr_t, pred_x0, z_t,
+                       sampler.logvar_type)
+  raise ValueError(f"Unknown sampler: {sampler.name}")
+
+
+def sample(
+    rng: jax.Array,
+    target_shape: Tuple[int, ...],
+    config: DiffusionConfig,
+    *,
+    denoise_fn: Optional[DenoiseFn] = None,
+    denoise_pair_fn: Optional[DenoisePairFn] = None,
+) -> Array:
+  """Full reverse diffusion as one on-device `lax.scan`.
+
+  Args:
+    rng: PRNG key; both the initial noise draw and the per-step DDPM noise
+      derive from it (key structure matches reference eval_scan so seeded
+      outputs are comparable).
+    target_shape: [batch, frames, dims] of the sample to draw.
+    config: diffusion hyperparameters.
+    denoise_fn: (z, time, include_conditioning) -> model_output. Two calls
+      per step under guidance (reference-compatible path).
+    denoise_pair_fn: (z, time) -> (cond_output, uncond_output) in one
+      batched forward (fast path). Exactly one of the two must be given.
+
+  Returns:
+    pred_x0 in [-1, 1] (network output space), float32.
+  """
+  assert (denoise_fn is None) != (denoise_pair_fn is None), (
+      "provide exactly one of denoise_fn / denoise_pair_fn")
+  # Keep sampler state in float32: bf16 state accumulates rounding error
+  # over ~1000 steps and audibly degrades output (reference note at
+  # diffusion_utils.py:461).
+  init_z = jax.random.normal(rng, shape=target_shape, dtype=jnp.float32)
+
+  def body(z_t, i):
+    z_s = sampler_step(
+        z_t, i, rng=rng, config=config,
+        denoise_fn=denoise_fn, denoise_pair_fn=denoise_pair_fn)
+    return z_s, None
+
+  pred_x0, _ = jax.lax.scan(
+      body, init=init_z, xs=jnp.arange(config.sampler.num_steps),
+      reverse=True)
+  return pred_x0
+
+
+# ---------------------------------------------------------------------------
+# Time-conditioning embedding.
+# ---------------------------------------------------------------------------
+
+
+def timing_embedding(position: Array, num_channels: int,
+                     min_timescale: float = 1.0,
+                     max_timescale: float = 2.0e4) -> Array:
+  """Tensor2Tensor-style sinusoidal timing signal, [batch, num_channels]."""
+  assert position.ndim == 1
+  assert num_channels % 2 == 0
+  num_timescales = num_channels // 2
+  log_increment = np.log(max_timescale / min_timescale) / (num_timescales - 1.0)
+  inv_timescales = min_timescale * jnp.exp(
+      jnp.arange(num_timescales, dtype=jnp.float32) * -log_increment)
+  scaled = position[:, None] * inv_timescales[None, :]
+  return jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=1)

@@ -1,0 +1,134 @@
+"""JAX STFT + mel filterbank matching tf.signal semantics.
+
+The reference computes features with tf.signal.stft(..., pad_end=True) and
+tf.signal.linear_to_mel_weight_matrix inside the tf.data pipeline
+(/root/reference/music_spectrogram_diffusion/audio_codecs.py:108-143).
+This module reproduces those numerics in pure JAX so featurization runs
+jit-compiled on device (and is differentiable, which the TF path is not
+from JAX's perspective).
+
+Key tf.signal behaviours reproduced exactly:
+  * pad_end=True framing: n_frames = ceil(n_samples / hop); frames that
+    overrun are zero-padded on the right.
+  * Periodic Hann window of `win_length`, zero-padded to `n_fft` on the
+    right before the FFT.
+  * HTK mel scale (2595 * log10(1 + f/700)) with triangular weights
+    computed on the *bin frequencies excluding DC* (tf drops the first
+    spectrogram bin when building the weight matrix).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+  """Periodic Hann window (matches tf.signal.hann_window default)."""
+  return (0.5 - 0.5 * np.cos(
+      2.0 * np.pi * np.arange(win_length) / win_length)).astype(dtype)
+
+
+def _hertz_to_mel(f):
+  return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def linear_to_mel_matrix(num_mel_bins: int,
+                         num_spectrogram_bins: int,
+                         sample_rate: float,
+                         lower_edge_hertz: float,
+                         upper_edge_hertz: float,
+                         dtype=np.float32) -> np.ndarray:
+  """Mel filterbank identical to tf.signal.linear_to_mel_weight_matrix.
+
+  Returns [num_spectrogram_bins, num_mel_bins]; the DC row is all zeros.
+  """
+  nyquist = sample_rate / 2.0
+  freqs = np.linspace(0.0, nyquist, num_spectrogram_bins)[1:]  # drop DC
+  spectrogram_mels = _hertz_to_mel(freqs)[:, None]
+
+  edges = np.linspace(_hertz_to_mel(lower_edge_hertz),
+                      _hertz_to_mel(upper_edge_hertz),
+                      num_mel_bins + 2)
+  lower = edges[:-2][None, :]
+  center = edges[1:-1][None, :]
+  upper = edges[2:][None, :]
+
+  lower_slopes = (spectrogram_mels - lower) / (center - lower)
+  upper_slopes = (upper - spectrogram_mels) / (upper - center)
+  weights = np.maximum(0.0, np.minimum(lower_slopes, upper_slopes))
+  # Re-add the DC row of zeros.
+  return np.pad(weights, [[1, 0], [0, 0]]).astype(dtype)
+
+
+def frame_signal(audio: Array, frame_length: int, frame_step: int,
+                 pad_end: bool = True) -> Array:
+  """Slice audio [..., n] into frames [..., n_frames, frame_length]."""
+  n = audio.shape[-1]
+  if pad_end:
+    n_frames = -(-n // frame_step)  # ceil
+    pad = max(0, (n_frames - 1) * frame_step + frame_length - n)
+    audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
+  else:
+    n_frames = max(0, (n - frame_length) // frame_step + 1)
+  idx = (np.arange(frame_length)[None, :] +
+         frame_step * np.arange(n_frames)[:, None])
+  return audio[..., idx]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "frame_length", "frame_step", "fft_length", "pad_end"))
+def stft_magnitude(audio: Array, *, frame_length: int, frame_step: int,
+                   fft_length: int, pad_end: bool = True) -> Array:
+  """|STFT| with a periodic Hann window, [..., n_frames, fft//2+1]."""
+  frames = frame_signal(audio, frame_length, frame_step, pad_end=pad_end)
+  window = jnp.asarray(hann_window(frame_length))
+  frames = frames * window
+  if fft_length > frame_length:
+    frames = jnp.pad(
+        frames,
+        [(0, 0)] * (frames.ndim - 1) + [(0, fft_length - frame_length)])
+  return jnp.abs(jnp.fft.rfft(frames, n=fft_length, axis=-1))
+
+
+def mel_spectrogram(audio: Array,
+                    *,
+                    sample_rate: int = 16000,
+                    n_fft: int = 1024,
+                    hop_length: int = 160,
+                    win_length: int = 400,
+                    n_mel_channels: Optional[int] = 64,
+                    drop_dc: bool = True,
+                    mel_fmin: float = 60.0,
+                    mel_fmax: Optional[float] = 7800.0,
+                    clip_value_min: float = 1e-5,
+                    clip_value_max: float = 1e8,
+                    log_amplitude: bool = True) -> Array:
+  """Log-mel spectrogram of [batch, n_samples] -> [batch, frames, mels].
+
+  Defaults and semantics track the reference Audio2Mel frontend
+  (audio_codecs.py:43-143).
+  """
+  if mel_fmax is None:
+    mel_fmax = sample_rate // 2
+  mag = stft_magnitude(audio, frame_length=win_length, frame_step=hop_length,
+                       fft_length=n_fft, pad_end=True)
+  if n_mel_channels is not None:
+    basis = jnp.asarray(linear_to_mel_matrix(
+        num_mel_bins=n_mel_channels,
+        num_spectrogram_bins=n_fft // 2 + 1,
+        sample_rate=sample_rate,
+        lower_edge_hertz=mel_fmin,
+        upper_edge_hertz=mel_fmax))
+    out = mag @ basis
+  else:
+    out = mag[..., 1:] if drop_dc else mag
+  if log_amplitude:
+    out = jnp.log(jnp.clip(out, clip_value_min, clip_value_max))
+  return out
