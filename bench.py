@@ -1,0 +1,113 @@
+"""Headline benchmark: synthesis realtime factor for base_with_context.
+
+Measures the reference's north-star metric — wall-clock seconds of audio
+synthesized per second of compute — for one 5.12 s segment (256 frames @
+50 fps) with the full 1000-step DDPM sampler + classifier-free guidance
+on a single chip. Reference baseline: ~1.0x realtime on TPUv4
+(reference README.md:20); target >10x on one v5e chip.
+
+Prints ONE JSON line:
+  {"metric": "synthesis_realtime_factor", "value": N,
+   "unit": "audio_seconds_per_second", "vs_baseline": N}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+  p = argparse.ArgumentParser()
+  p.add_argument("--quick", action="store_true",
+                 help="small model, 50 steps (smoke test)")
+  p.add_argument("--size", default=None, help="model size override")
+  p.add_argument("--steps", type=int, default=None,
+                 help="sampler steps override")
+  p.add_argument("--batch", type=int, default=1)
+  p.add_argument("--repeats", type=int, default=3)
+  args = p.parse_args()
+
+  size = args.size or ("small" if args.quick else "base")
+  num_steps = args.steps or (50 if args.quick else 1000)
+
+  import jax
+  import numpy as np
+
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.models.diffusion import (
+      model as model_lib, network)
+  from music_spectrogram_diffusion_tpu.ops import diffusion as dops
+
+  net_cfg = cfg_lib.network_config(size, with_context=True,
+                                   dropout_rate=0.0)
+  module = network.ContextTransformer(config=net_cfg)
+  dcfg = dops.DiffusionConfig(
+      sampler=dops.SamplerConfig(num_steps=num_steps))
+  codec = codecs.MelGan()
+  model = model_lib.ContextDiffusionModel(module, dcfg, codec)
+
+  B, L_IN, L_CTX, L_TGT, D = args.batch, 2048, 256, 256, codec.n_dims
+  r = np.random.RandomState(0)
+  batch = {
+      "encoder_input_tokens": jax.numpy.asarray(
+          r.randint(1, 1000, (B, L_IN)), jax.numpy.int32),
+      "encoder_continuous_inputs": jax.numpy.asarray(
+          r.randn(B, L_CTX, D).astype(np.float32)),
+      "encoder_continuous_mask": jax.numpy.ones((B, L_CTX), bool),
+      "decoder_target_tokens": jax.numpy.zeros((B, L_TGT, D),
+                                               jax.numpy.float32),
+      "decoder_target_mask": jax.numpy.ones((B, L_TGT), bool),
+  }
+
+  # NOTE on timing: on the tunneled 'axon' TPU platform
+  # block_until_ready() returns immediately; the only reliable sync is a
+  # device->host fetch. We reduce the output to a scalar on device and
+  # fetch it, so the transfer itself is negligible.
+  def sync(x):
+    return float(np.asarray(jax.numpy.sum(x)))
+
+  t0 = time.time()
+  variables = jax.jit(lambda k: model.init_variables(
+      k, {k2: v.shape for k2, v in batch.items()},
+      {k2: v.dtype for k2, v in batch.items()}))(jax.random.PRNGKey(0))
+  params = variables["params"]
+  sync(jax.tree_util.tree_leaves(params)[0])
+  init_s = time.time() - t0
+
+  predict = jax.jit(lambda p, b, k: model.predict(p, b, k)[0])
+  t0 = time.time()
+  out = predict(params, batch, jax.random.PRNGKey(1))
+  sync(out)
+  compile_s = time.time() - t0
+
+  times = []
+  for i in range(args.repeats):
+    t0 = time.time()
+    out = predict(params, batch, jax.random.PRNGKey(2 + i))
+    sync(out)
+    times.append(time.time() - t0)
+  wall = float(np.median(times))
+
+  audio_seconds = B * L_TGT / codec.frame_rate
+  rtf = audio_seconds / wall
+  baseline_rtf = 1.0  # reference: ~realtime on TPUv4 (README.md:20)
+
+  print(json.dumps({
+      "metric": "synthesis_realtime_factor",
+      "value": round(rtf, 3),
+      "unit": "audio_seconds_per_second",
+      "vs_baseline": round(rtf / baseline_rtf, 3),
+  }))
+
+  # Secondary details on stderr so stdout stays one JSON line.
+  print(f"# size={size} steps={num_steps} batch={B} "
+        f"wall={wall*1000:.1f}ms denoise_steps/s={num_steps/wall:.1f} "
+        f"init={init_s:.1f}s compile={compile_s:.1f}s "
+        f"platform={jax.devices()[0].platform}", file=sys.stderr)
+  assert np.all(np.isfinite(np.asarray(out)))
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,130 @@
+"""On-device vocoders: mel spectrogram -> 16 kHz audio.
+
+The reference inverts mels with a TF-Hub SoundStream SavedModel executed
+on the HOST (reference audio_codecs.py:249-264) — a device round trip per
+song. Here vocoding is a jit-compiled JAX function so the whole synthesis
+chain (denoise -> vocode) stays on the TPU:
+
+* `SoundStreamDecoder`: the GAN mel-inverter architecture (Flax), for
+  converted or newly-trained weights.
+* `GriffinLimVocoder`: weights-free fallback using the mel pseudo-inverse
+  + Griffin-Lim phase recovery (ops/stft.py), so the framework produces
+  audible output with no checkpoint at all.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_spectrogram_diffusion_tpu.ops import stft as stft_ops
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class SoundStreamConfig:
+  """SoundStream-style mel decoder (Zeghidour et al. 2021, fig. 4).
+
+  Upsample strides multiply to the codec hop (8*5*4*2 = 320 for MelGAN's
+  16 kHz / 50 fps geometry).
+  """
+  mel_bins: int = 128
+  base_channels: int = 512
+  strides: Tuple[int, ...] = (8, 5, 4, 2)
+  dilations: Tuple[int, ...] = (1, 3, 9)
+  kernel_size: int = 7
+
+  @property
+  def hop_size(self) -> int:
+    return int(np.prod(self.strides))
+
+
+class ResidualUnit(nn.Module):
+  channels: int
+  dilation: int
+  kernel_size: int = 7
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    y = nn.elu(x)
+    y = nn.Conv(self.channels, (self.kernel_size,),
+                kernel_dilation=(self.dilation,), padding="SAME",
+                name="dilated_conv")(y)
+    y = nn.elu(y)
+    y = nn.Conv(self.channels, (1,), name="pointwise_conv")(y)
+    return x + y
+
+
+class DecoderBlock(nn.Module):
+  channels: int
+  stride: int
+  dilations: Sequence[int]
+  kernel_size: int
+
+  @nn.compact
+  def __call__(self, x: Array) -> Array:
+    x = nn.elu(x)
+    x = nn.ConvTranspose(self.channels, (2 * self.stride,),
+                         strides=(self.stride,), padding="SAME",
+                         name="upsample")(x)
+    for i, d in enumerate(self.dilations):
+      x = ResidualUnit(self.channels, d, self.kernel_size,
+                       name=f"residual_{i}")(x)
+    return x
+
+
+class SoundStreamDecoder(nn.Module):
+  """Mel [B, T, mel_bins] -> audio [B, T * hop]."""
+  config: SoundStreamConfig = SoundStreamConfig()
+
+  @nn.compact
+  def __call__(self, mel: Array) -> Array:
+    cfg = self.config
+    x = nn.Conv(cfg.base_channels, (cfg.kernel_size,), padding="SAME",
+                name="input_conv")(mel)
+    channels = cfg.base_channels
+    for i, stride in enumerate(cfg.strides):
+      channels = max(channels // 2, 32)
+      x = DecoderBlock(channels, stride, cfg.dilations, cfg.kernel_size,
+                       name=f"block_{i}")(x)
+    x = nn.elu(x)
+    x = nn.Conv(1, (cfg.kernel_size,), padding="SAME",
+                name="output_conv")(x)
+    return jnp.tanh(x)[..., 0]
+
+
+class GriffinLimVocoder:
+  """Weights-free mel inversion: pinv filterbank + Griffin-Lim phase."""
+
+  def __init__(self, *, sample_rate: int = 16000, n_fft: int = 1024,
+               hop_length: int = 320, win_length: int = 640,
+               n_mel_channels: int = 128, mel_fmin: float = 0.0,
+               num_iters: int = 32):
+    self.hop_length = hop_length
+    self._params = dict(frame_length=win_length, frame_step=hop_length,
+                        fft_length=n_fft)
+    self._num_iters = num_iters
+    self._mel_basis = stft_ops.linear_to_mel_matrix(
+        num_mel_bins=n_mel_channels,
+        num_spectrogram_bins=n_fft // 2 + 1,
+        sample_rate=sample_rate,
+        lower_edge_hertz=mel_fmin,
+        upper_edge_hertz=sample_rate // 2)
+
+  def __call__(self, log_mel: Array, rng=None) -> Array:
+    """[B, T, mel] log-mel -> [B, T * hop] audio."""
+    mel = jnp.exp(log_mel)  # undo the log-amplitude encode
+    magnitude = stft_ops.mel_to_linear(mel, self._mel_basis)
+    return stft_ops.griffin_lim(
+        magnitude, num_iters=self._num_iters, rng=rng, **self._params)
+
+  def as_codec_decoder(self):
+    """(params, features) -> audio adapter for AudioCodec.set_vocoder."""
+    fn = jax.jit(lambda params, feats: self(feats))
+    return fn, None

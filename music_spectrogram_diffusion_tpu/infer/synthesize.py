@@ -1,0 +1,168 @@
+"""Full-song synthesis by segment chaining.
+
+The reference renders songs in a Beam pipeline (beam/evaluation.py:
+156-276): per segment it runs the model with the previous segment's
+*prediction* fed back as `encoder_continuous_inputs` (mask zeroed for the
+first segment), then inverts the concatenated spectrogram via the host
+TF-Hub vocoder.
+
+This renderer keeps the whole chain on device:
+  * one compiled predict function reused for every segment of every song
+    (shapes are constant by construction),
+  * songs are BATCHED — segment i of many songs runs as one forward, so
+    the sequential dependency is only along segments, not songs,
+  * vocoding is a jitted on-device function (audio/vocoder.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def _device_sync(x: Array) -> float:
+  """Reliable device sync: fetch a scalar reduction (block_until_ready is
+  a no-op on the tunneled TPU platform)."""
+  return float(np.asarray(jnp.sum(x)))
+
+
+@dataclasses.dataclass
+class SongRender:
+  """Result of rendering one song."""
+  mel: np.ndarray  # [frames, n_dims] in codec feature space
+  audio: Optional[np.ndarray]  # [samples] if a vocoder was attached
+  timings: Dict[str, float]
+
+
+class Synthesizer:
+  """Segment-chained renderer for context diffusion models."""
+
+  def __init__(self, model: Any, params: Any,
+               task_feature_lengths: Mapping[str, int],
+               vocoder=None):
+    """Args:
+      model: ContextDiffusionModel (or compatible .predict).
+      params: model parameters.
+      task_feature_lengths: {'inputs', 'targets', 'targets_context'}.
+      vocoder: optional callable [B, T, D] mel -> [B, T*hop] audio.
+    """
+    self.model = model
+    self.params = params
+    self.lengths = dict(task_feature_lengths)
+    self.vocoder = vocoder
+    self._predict = jax.jit(
+        lambda params, batch, rng: self.model.predict(params, batch, rng)[0])
+    self._vocode = jax.jit(vocoder) if vocoder is not None else None
+
+  def _segment_batch(self, tokens: Array, context: Array,
+                     context_mask: Array) -> Dict[str, Array]:
+    l_tgt = self.lengths["targets"]
+    n_dims = self.model.audio_codec.n_dims
+    batch = tokens.shape[0]
+    return {
+        "encoder_input_tokens": tokens,
+        "encoder_continuous_inputs": context,
+        "encoder_continuous_mask": context_mask,
+        "decoder_target_tokens": jnp.zeros((batch, l_tgt, n_dims),
+                                           jnp.float32),
+        "decoder_target_mask": jnp.ones((batch, l_tgt), bool),
+    }
+
+  def render_songs(self,
+                   songs: Sequence[Sequence[np.ndarray]],
+                   rng: Optional[jax.Array] = None,
+                   vocode: bool = True) -> List[SongRender]:
+    """Render a batch of songs, chaining context across segments.
+
+    Args:
+      songs: per song, the list of per-segment `encoder_input_tokens`
+        (1D int32, already padded/EOS'd to the task inputs length).
+      rng: base PRNG key; folded per segment.
+      vocode: run the attached vocoder (if any) on the result.
+
+    Returns:
+      One SongRender per song (trailing all-pad segments trimmed).
+    """
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
+    n_songs = len(songs)
+    max_segments = max(len(s) for s in songs)
+    l_in = self.lengths["inputs"]
+    l_ctx = self.lengths["targets_context"]
+    l_tgt = self.lengths["targets"]
+    n_dims = self.model.audio_codec.n_dims
+
+    # [segments, songs, l_in] token tensor, zero-padded for short songs.
+    tokens = np.zeros((max_segments, n_songs, l_in), np.int32)
+    for si, song in enumerate(songs):
+      for gi, seg in enumerate(song):
+        seg = np.asarray(seg, np.int32)[:l_in]
+        tokens[gi, si, :len(seg)] = seg
+
+    context = jnp.full((n_songs, l_ctx, n_dims),
+                       self.model.audio_codec.pad_value, jnp.float32)
+    context_mask = jnp.zeros((n_songs, l_ctx), bool)
+
+    mel_segments = []
+    seg_times = []
+    for gi in range(max_segments):
+      batch = self._segment_batch(
+          jnp.asarray(tokens[gi]), context, context_mask)
+      t0 = time.time()
+      pred = self._predict(self.params, batch,
+                           jax.random.fold_in(rng, gi))
+      _device_sync(pred)
+      seg_times.append(time.time() - t0)
+      mel_segments.append(pred)
+      # Next segment's context is this prediction (full-length mask).
+      context = pred[:, -l_ctx:, :]
+      context_mask = jnp.ones((n_songs, l_ctx), bool)
+
+    mel = jnp.concatenate(mel_segments, axis=1)  # [songs, frames, dims]
+
+    audio = None
+    vocode_time = 0.0
+    if vocode and self._vocode is not None:
+      t0 = time.time()
+      audio = self._vocode(mel)
+      _device_sync(audio)
+      vocode_time = time.time() - t0
+
+    frame_rate = self.model.audio_codec.frame_rate
+    results = []
+    mel_np = np.asarray(mel)
+    audio_np = np.asarray(audio) if audio is not None else None
+    for si, song in enumerate(songs):
+      n_frames = len(song) * l_tgt
+      song_audio = (audio_np[si, :n_frames *
+                             self.model.audio_codec.hop_size]
+                    if audio_np is not None else None)
+      audio_seconds = n_frames / frame_rate
+      # Exclude the first segment (compile) per reference methodology
+      # (beam/evaluation.py:217-219) when enough segments exist.
+      steady = seg_times[1:] if len(seg_times) > 1 else seg_times
+      pred_seconds = float(np.sum(seg_times))
+      results.append(SongRender(
+          mel=mel_np[si, :n_frames],
+          audio=song_audio,
+          timings={
+              "prediction_seconds": pred_seconds,
+              "prediction_seconds_per_audio_second":
+                  pred_seconds / max(audio_seconds, 1e-9),
+              "steady_segment_seconds": float(np.median(steady)),
+              "audio_decode_seconds": vocode_time,
+              "audio_seconds": audio_seconds,
+          }))
+    return results
+
+  def render_song(self, segments: Sequence[np.ndarray],
+                  rng: Optional[jax.Array] = None,
+                  vocode: bool = True) -> SongRender:
+    return self.render_songs([segments], rng=rng, vocode=vocode)[0]

@@ -452,9 +452,11 @@ class FixedEmbed(nn.Module):
   @nn.compact
   def __call__(self, inputs, *, decode: bool = False):
     if decode:
+      # Starts at uint32 -1: the cache-init pass consumes one increment,
+      # so the first real decode step reads position 0.
       position_index = self.variable(
           "cache", "position_embedder_index",
-          lambda: jnp.array(-1, dtype=jnp.uint32))
+          lambda: jnp.array(np.iinfo(np.uint32).max, dtype=jnp.uint32))
       i = position_index.value
       position_index.value = i + 1
       return lax.dynamic_slice(self.embedding, jnp.array((i, 0)),

@@ -97,6 +97,72 @@ def stft_magnitude(audio: Array, *, frame_length: int, frame_step: int,
   return jnp.abs(jnp.fft.rfft(frames, n=fft_length, axis=-1))
 
 
+def istft(stft_matrix: Array, *, frame_length: int, frame_step: int,
+          fft_length: int, num_samples: int) -> Array:
+  """Inverse STFT with Hann synthesis window + overlap-add (jit-able)."""
+  frames = jnp.fft.irfft(stft_matrix, n=fft_length, axis=-1)
+  frames = frames[..., :frame_length]
+  window = jnp.asarray(hann_window(frame_length))
+  frames = frames * window
+
+  n_frames = frames.shape[-2]
+  total = (n_frames - 1) * frame_step + frame_length
+  batch_shape = frames.shape[:-2]
+
+  # Overlap-add via scatter-add on a frame-index map.
+  idx = (np.arange(frame_length)[None, :] +
+         frame_step * np.arange(n_frames)[:, None]).reshape(-1)
+  flat = frames.reshape(batch_shape + (-1,))
+  out = jnp.zeros(batch_shape + (total,), flat.dtype)
+  out = out.at[..., idx].add(flat)
+
+  # Window-envelope normalization.
+  env = jnp.zeros((total,), jnp.float32)
+  env = env.at[idx].add(jnp.tile(window * window, n_frames))
+  out = out / jnp.maximum(env, 1e-8)
+  return out[..., :num_samples]
+
+
+def griffin_lim(magnitude: Array, *, frame_length: int, frame_step: int,
+                fft_length: int, num_iters: int = 32,
+                rng: Optional[Array] = None) -> Array:
+  """Griffin-Lim phase reconstruction from |STFT| (fully on device).
+
+  Used as the weights-free fallback vocoder path: mel -> approximate
+  linear magnitude -> GL -> audio. Each iteration is one iSTFT + STFT
+  round trip inside a lax.scan.
+  """
+  n_frames = magnitude.shape[-2]
+  num_samples = n_frames * frame_step
+
+  if rng is not None:
+    angles = jax.random.uniform(
+        rng, magnitude.shape, minval=-np.pi, maxval=np.pi)
+  else:
+    angles = jnp.zeros(magnitude.shape)
+  stft_c = magnitude * jnp.exp(1j * angles.astype(jnp.complex64))
+
+  def body(stft_c, _):
+    audio = istft(stft_c, frame_length=frame_length,
+                  frame_step=frame_step, fft_length=fft_length,
+                  num_samples=num_samples)
+    frames = frame_signal(audio, frame_length, frame_step, pad_end=True)
+    frames = frames * jnp.asarray(hann_window(frame_length))
+    reconstructed = jnp.fft.rfft(frames, n=fft_length, axis=-1)
+    phase = reconstructed / jnp.maximum(jnp.abs(reconstructed), 1e-8)
+    return magnitude * phase, None
+
+  stft_c, _ = jax.lax.scan(body, stft_c, None, length=num_iters)
+  return istft(stft_c, frame_length=frame_length, frame_step=frame_step,
+               fft_length=fft_length, num_samples=num_samples)
+
+
+def mel_to_linear(mel: Array, mel_basis: Array) -> Array:
+  """Approximate |STFT| from mel via the filterbank pseudo-inverse."""
+  pinv = jnp.asarray(np.linalg.pinv(np.asarray(mel_basis)))
+  return jnp.maximum(mel @ pinv, 0.0)
+
+
 def mel_spectrogram(audio: Array,
                     *,
                     sample_rate: int = 16000,

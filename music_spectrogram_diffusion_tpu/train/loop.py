@@ -1,0 +1,111 @@
+"""High-level training loop: data -> sharded steps -> checkpoints -> logs.
+
+Replaces the external t5x train binary the reference delegates to
+(reference gin/train.gin): checkpoint every `checkpoint_period` steps,
+loss/throughput metrics each log period, optional train-eval pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from music_spectrogram_diffusion_tpu import config as cfg_lib
+from music_spectrogram_diffusion_tpu.train import checkpoints
+from music_spectrogram_diffusion_tpu.train import metrics as metrics_lib
+from music_spectrogram_diffusion_tpu.train import trainer as trainer_lib
+
+
+class MetricsLogger:
+  """JSONL metrics writer (one line per log step) + stdout echo."""
+
+  def __init__(self, log_dir: Optional[str], echo: bool = True):
+    self._file = None
+    self._echo = echo
+    if log_dir:
+      os.makedirs(log_dir, exist_ok=True)
+      self._file = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+  def write(self, step: int, metrics: Dict[str, Any]) -> None:
+    payload = {"step": step}
+    for k, v in metrics.items():
+      try:
+        payload[k] = float(v)
+      except (TypeError, ValueError):
+        continue
+    if self._file:
+      self._file.write(json.dumps(payload) + "\n")
+      self._file.flush()
+    if self._echo:
+      parts = " ".join(f"{k}={v:.5g}" for k, v in payload.items()
+                       if k != "step")
+      print(f"[step {step}] {parts}")
+
+  def close(self):
+    if self._file:
+      self._file.close()
+
+
+@dataclasses.dataclass
+class TrainLoop:
+  """Drives Trainer over a data iterator with checkpointing."""
+  trainer: trainer_lib.Trainer
+  experiment: cfg_lib.ExperimentConfig
+  model_dir: str
+  log_period: int = 100
+  eval_fn: Optional[Callable[[trainer_lib.TrainState], Dict[str, float]]] = None
+
+  def run(self,
+          train_iter: Iterator[Dict[str, np.ndarray]],
+          state: trainer_lib.TrainState,
+          num_steps: Optional[int] = None,
+          rng: Optional[jax.Array] = None) -> trainer_lib.TrainState:
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
+    train_cfg = self.experiment.train
+    num_steps = num_steps or train_cfg.train_steps
+    logger = MetricsLogger(self.model_dir)
+
+    start_step = int(state.step)
+    window_t0 = time.time()
+    window_frames = 0.0
+    window_seqs = 0.0
+    n_devices = len(jax.devices())
+
+    for _ in range(start_step, num_steps):
+      batch = self.trainer.shard_batch(next(train_iter))
+      state, metrics = self.trainer.train_step(state, batch, rng)
+      window_frames += float(metrics["n_frames"])
+      window_seqs += float(metrics["n_seqs"])
+
+      step = int(state.step)
+      if step % self.log_period == 0 or step == num_steps:
+        elapsed = time.time() - window_t0
+        logged = {k: v for k, v in metrics.items()}
+        logged.update(metrics_lib.throughput_metrics(
+            window_seqs, window_frames, max(elapsed, 1e-9), n_devices))
+        logger.write(step, logged)
+        window_t0 = time.time()
+        window_frames = window_seqs = 0.0
+
+      if step % train_cfg.checkpoint_period == 0 or step == num_steps:
+        path = checkpoints.save_checkpoint(
+            self.model_dir, step, state.params,
+            opt_state=None,  # Adafactor state is cheap to rebuild
+            config_json=self.experiment.to_json())
+        print(f"saved checkpoint: {path}")
+
+      if (self.eval_fn is not None and
+          step % train_cfg.eval_period == 0):
+        eval_metrics = self.eval_fn(state)
+        logger.write(step, {f"eval/{k}": v
+                            for k, v in eval_metrics.items()})
+
+    logger.close()
+    return state

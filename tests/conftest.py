@@ -13,3 +13,9 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
   os.environ["XLA_FLAGS"] = (
       _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment pre-imports jax and programmatically selects the 'axon'
+# (TPU tunnel) platform, overriding JAX_PLATFORMS — override it back.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -33,6 +33,9 @@ def _load_ref_module(relpath, name):
 
 def main():
   import jax  # noqa: E402
+  # The image's sitecustomize pre-imports jax on the 'axon' TPU platform,
+  # ignoring JAX_PLATFORMS; force CPU so goldens match the CPU test run.
+  jax.config.update("jax_platforms", "cpu")
   import jax.numpy as jnp  # noqa: E402
   ref = _load_ref_module(
       "music_spectrogram_diffusion/models/diffusion/diffusion_utils.py",
@@ -140,5 +143,67 @@ def main():
   print(f"wrote {path} with {len(out)} arrays")
 
 
+def main_rle():
+  """Goldens for encode_and_index_events from the reference."""
+  # The reference module imports seqio/tensorflow/absl at top level; the
+  # function under test uses none of them — stub the imports.
+  from unittest import mock
+  for name in ["seqio", "tensorflow", "absl", "absl.logging"]:
+    sys.modules.setdefault(name, mock.MagicMock())
+  ref_codec_mod = _load_ref_module(
+      "music_spectrogram_diffusion/event_codec.py", "ref_event_codec")
+  pkg_mock = mock.MagicMock()
+  pkg_mock.event_codec = ref_codec_mod
+  sys.modules["music_spectrogram_diffusion"] = pkg_mock
+  sys.modules["music_spectrogram_diffusion.event_codec"] = ref_codec_mod
+  ref_rle = _load_ref_module(
+      "music_spectrogram_diffusion/run_length_encoding.py", "ref_rle")
+
+  codec = ref_codec_mod.Codec(
+      max_shift_steps=100, steps_per_second=100,
+      event_ranges=[
+          ref_codec_mod.EventRange("pitch", 0, 127),
+          ref_codec_mod.EventRange("velocity", 0, 1),
+          ref_codec_mod.EventRange("tie", 0, 0),
+      ])
+
+  Event = ref_codec_mod.Event
+
+  def encode_event_fn(state, value, codec_):
+    # value = (pitch, velocity_bin); track active pitches in state dict.
+    pitch, vel = value
+    if state is not None:
+      state[pitch] = vel
+    return [Event("velocity", vel), Event("pitch", pitch)]
+
+  def state_to_events_fn(state):
+    evs = [Event("pitch", p) for p in sorted(state) if state[p]]
+    return evs + [Event("tie", 0)]
+
+  event_times = [0.0, 0.032, 0.032, 0.05, 0.11, 0.113]
+  event_values = [(60, 1), (62, 1), (60, 0), (65, 1), (62, 0), (65, 0)]
+  frame_times = [i * 0.02 for i in range(8)]  # 50 fps frames
+
+  out = {}
+  for with_state in [False, True]:
+    state = {} if with_state else None
+    res = ref_rle.encode_and_index_events(
+        state=state, event_times=event_times, event_values=event_values,
+        encode_event_fn=encode_event_fn, codec=codec,
+        frame_times=frame_times,
+        encoding_state_to_events_fn=(
+            state_to_events_fn if with_state else None))
+    tag = "state" if with_state else "plain"
+    for name, arr in zip(["events", "start", "end", "state_events",
+                          "state_idx"], res):
+      out[f"{tag}_{name}"] = np.asarray(arr)
+
+  path = os.path.join(os.path.dirname(__file__), "goldens", "rle.npz")
+  np.savez(path, **out)
+  print(f"wrote {path} with {len(out)} arrays")
+
+
 if __name__ == "__main__":
-  main()
+  if "--rle-only" not in sys.argv:
+    main()
+  main_rle()

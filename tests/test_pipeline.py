@@ -1,0 +1,120 @@
+"""End-to-end data pipeline tests on synthetic data."""
+
+import numpy as np
+import pytest
+
+from music_spectrogram_diffusion_tpu.audio import codecs
+from music_spectrogram_diffusion_tpu.data import core
+from music_spectrogram_diffusion_tpu.data import synthetic
+from music_spectrogram_diffusion_tpu.data import tasks
+from music_spectrogram_diffusion_tpu.midi import vocabularies
+
+LENGTHS = {"inputs": 512, "targets": 128, "targets_context": 128}
+
+
+def make_task(with_context=True):
+  return tasks.Task(
+      name="synthetic_test",
+      source_fn=lambda: synthetic.synthetic_source(
+          2, duration=6.0, seed=42),
+      audio_codec=codecs.MelGan(),
+      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+      note_rep=tasks.NoteRepresentationConfig(include_ties=True),
+      with_context=with_context)
+
+
+def test_dataset_core():
+  ds = core.Dataset.from_list([{"x": np.asarray(i)} for i in range(10)])
+  assert len(ds.map(lambda e: {"x": e["x"] * 2}).as_list()) == 10
+  assert [int(e["x"]) for e in ds.take(3)] == [0, 1, 2]
+  batched = ds.batch(4).as_list()
+  assert len(batched) == 2 and batched[0]["x"].shape == (4,)
+  shuffled = [int(e["x"]) for e in ds.shuffle(5, seed=1)]
+  assert sorted(shuffled) == list(range(10)) and shuffled != list(range(10))
+  pre = [int(e["x"]) for e in ds.prefetch(2, num_threads=2)]
+  assert sorted(pre) == list(range(10))
+
+
+def test_tokenized_schema():
+  task = make_task()
+  ex = task.tokenized(split_sequences=False).first()
+  # After rekey: inputs = events, targets = audio frames.
+  assert ex["inputs"].dtype == np.int32
+  assert ex["targets"].ndim == 2
+  assert ex["targets"].shape[1] == 320  # hop-size frames
+  n_frames = ex["targets"].shape[0]
+  for k in ("event_start_indices", "event_end_indices",
+            "state_event_indices"):
+    assert len(ex[k]) == n_frames
+  # 6s at 50 fps (+1 frame pad) ~ 300 frames.
+  assert 295 <= n_frames <= 305
+
+
+def test_train_dataset_features():
+  task = make_task()
+  ex = task.train_dataset(LENGTHS, seed=0).first()
+  assert ex["targets"].shape[1] == 128  # mel bins
+  assert ex["targets"].shape[0] == LENGTHS["targets"]  # padded
+  assert ex["targets_context"].shape[0] <= LENGTHS["targets_context"]
+  assert ex["inputs"].dtype == np.int32
+  assert len(ex["inputs"]) <= LENGTHS["inputs"]
+  assert ex["inputs"][-1] == task.vocabulary.eos_id
+  # Mel features within codec range (clip boundaries).
+  ac = task.audio_codec
+  assert ex["targets"].min() >= ac.min_value - 1e-3
+  assert ex["targets"].max() <= ac.max_value + 10  # loud synth may exceed 4
+
+
+def test_model_dataset_batch():
+  task = make_task()
+  batch = (task.model_dataset(LENGTHS, training=True, seed=0)
+           .batch(2).first())
+  assert batch["encoder_input_tokens"].shape == (2, 512)
+  assert batch["encoder_continuous_inputs"].shape == (2, 128, 128)
+  assert batch["encoder_continuous_mask"].shape == (2, 128)
+  assert batch["decoder_target_tokens"].shape == (2, 128, 128)
+  assert batch["decoder_target_mask"].shape == (2, 128)
+  assert batch["decoder_target_mask"].dtype == bool
+
+
+def test_full_song_dataset_segments():
+  task = make_task()
+  segs = task.full_song_dataset(LENGTHS).as_list()
+  # 2 songs x ~300 frames / 128 per segment = 3 segments each.
+  assert len(segs) == 6
+  idx = [int(s["segment_index"]) for s in segs]
+  assert idx == [0, 1, 2, 0, 1, 2]
+  # Context starts empty for every segment (filled at inference).
+  for s in segs:
+    assert s["targets_context"].shape[0] == 0
+  # Consecutive segments cover the song without overlap.
+  assert int(segs[1]["segment_start_frame"]) == 128
+
+
+def test_no_context_task():
+  task = make_task(with_context=False)
+  batch = (task.model_dataset(LENGTHS, training=True, seed=0)
+           .batch(2).first())
+  assert "encoder_continuous_inputs" not in batch
+  assert batch["decoder_input_tokens"].shape == (2, 128, 128)
+  # Teacher-forcing shift: input[0] is zeros, input[t] = target[t-1].
+  np.testing.assert_allclose(batch["decoder_input_tokens"][:, 0], 0.0)
+  np.testing.assert_allclose(batch["decoder_input_tokens"][:, 1:],
+                             batch["decoder_target_tokens"][:, :-1])
+
+
+def test_mixture():
+  t1 = tasks.register_task(make_task())
+  tasks.TASK_REGISTRY["second"] = t1
+  mix = tasks.Mixture("mix", ["synthetic_test", "second"],
+                      rates=tasks.example_proportional_rates([100, 10]))
+  ex = mix.dataset(LENGTHS, training=True, seed=0).first()
+  assert "decoder_target_tokens" in ex
+
+
+def test_deterministic_given_seed():
+  task = make_task()
+  a = task.train_dataset(LENGTHS, seed=7).first()
+  b = task.train_dataset(LENGTHS, seed=7).first()
+  np.testing.assert_array_equal(a["inputs"], b["inputs"])
+  np.testing.assert_allclose(a["targets"], b["targets"])
