@@ -26,6 +26,12 @@ def main():
                  help="sampler steps override")
   p.add_argument("--batch", type=int, default=1)
   p.add_argument("--repeats", type=int, default=3)
+  p.add_argument("--dtype", default="float32",
+                 choices=["float32", "bfloat16"],
+                 help="network compute dtype (params/sampler state stay "
+                      "f32 either way)")
+  p.add_argument("--fused_attention", action="store_true",
+                 help="use the Pallas fused attention kernel")
   args = p.parse_args()
 
   size = args.size or ("small" if args.quick else "base")
@@ -40,8 +46,9 @@ def main():
       model as model_lib, network)
   from music_spectrogram_diffusion_tpu.ops import diffusion as dops
 
-  net_cfg = cfg_lib.network_config(size, with_context=True,
-                                   dropout_rate=0.0)
+  net_cfg = cfg_lib.network_config(
+      size, with_context=True, dropout_rate=0.0, dtype=args.dtype,
+      use_fused_attention=args.fused_attention)
   module = network.ContextTransformer(config=net_cfg)
   dcfg = dops.DiffusionConfig(
       sampler=dops.SamplerConfig(num_steps=num_steps))
@@ -102,7 +109,7 @@ def main():
   }))
 
   # Secondary details on stderr so stdout stays one JSON line.
-  print(f"# size={size} steps={num_steps} batch={B} "
+  print(f"# size={size} steps={num_steps} batch={B} dtype={args.dtype} "
         f"wall={wall*1000:.1f}ms denoise_steps/s={num_steps/wall:.1f} "
         f"init={init_s:.1f}s compile={compile_s:.1f}s "
         f"platform={jax.devices()[0].platform}", file=sys.stderr)

@@ -1,0 +1,79 @@
+"""Materialize and print examples from a task (debug tool).
+
+  python -m music_spectrogram_diffusion_tpu.cli.dump_task \
+      --synthetic [--full_song] [--n 2] [--decode_events]
+
+Equivalent of the reference dump_task.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--synthetic", action="store_true")
+  p.add_argument("--full_song", action="store_true")
+  p.add_argument("--n", type=int, default=2)
+  p.add_argument("--decode_events", action="store_true",
+                 help="decode the event tokens back to notes and print")
+  p.add_argument("--inputs_length", type=int, default=2048)
+  p.add_argument("--targets_length", type=int, default=256)
+  args = p.parse_args()
+
+  import numpy as np
+
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.data import synthetic, tasks
+  from music_spectrogram_diffusion_tpu.midi import (run_length, sequences,
+                                                    vocabularies)
+
+  if not args.synthetic:
+    raise NotImplementedError("only --synthetic sources in this env")
+
+  task = tasks.Task(
+      name="dump", source_fn=lambda: synthetic.synthetic_source(
+          args.n, duration=8.0),
+      audio_codec=codecs.MelGan(),
+      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+      note_rep=tasks.NoteRepresentationConfig(include_ties=True))
+
+  lengths = {"inputs": args.inputs_length,
+             "targets": args.targets_length,
+             "targets_context": args.targets_length}
+  ds = (task.full_song_dataset(lengths) if args.full_song
+        else task.train_dataset(lengths))
+
+  for i, ex in enumerate(ds.take(args.n)):
+    print(f"--- example {i} ---")
+    for k, v in sorted(ex.items()):
+      v = np.asarray(v) if not isinstance(v, (str, bytes,
+                                              sequences.NoteSequence)) else v
+      if isinstance(v, np.ndarray):
+        desc = f"{v.dtype}{list(v.shape)}"
+        if v.size and np.issubdtype(v.dtype, np.number):
+          desc += f" [{v.min():.3g}, {v.max():.3g}]"
+        print(f"  {k}: {desc}")
+      else:
+        print(f"  {k}: {type(v).__name__}")
+    if args.decode_events:
+      tokens = task.vocabulary.decode(np.asarray(ex["inputs"]))
+      tokens = tokens[tokens >= 0]
+      spec = sequences.NoteEncodingWithTiesSpec
+      state = spec.init_decoding_state_fn()
+      spec.begin_decoding_segment_fn(state)
+      invalid, dropped = run_length.decode_events(
+          state, tokens, 0.0, None, task.codec, spec.decode_event_fn)
+      try:
+        ns = spec.flush_decoding_state_fn(state)
+        print(f"  decoded: {len(ns.notes)} notes "
+              f"(invalid={invalid}, dropped={dropped})")
+        for note in ns.notes[:10]:
+          print(f"    {note}")
+      except ValueError as e:
+        print(f"  decode flush error: {e}")
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,112 @@
+"""Training entry point.
+
+  python -m music_spectrogram_diffusion_tpu.cli.train \
+      --preset context_small --model_dir /tmp/run1 \
+      [--synthetic] [--steps 1000] [--batch 8] [--mesh 4x2]
+
+Replaces the reference's `python -m t5x.train --gin_file=...` matrix
+(reference gin/README.md): the preset picks model size/context, the task
+flags pick data. --synthetic trains on the generated sine dataset (smoke
+runs / this environment, which has no dataset files).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--preset", default="context_small")
+  p.add_argument("--model_dir", required=True)
+  p.add_argument("--steps", type=int, default=None)
+  p.add_argument("--batch", type=int, default=None)
+  p.add_argument("--mesh", default=None,
+                 help="DATAxMODEL, e.g. 4x2 (default: all devices as DP)")
+  p.add_argument("--synthetic", action="store_true",
+                 help="train on the synthetic sine dataset")
+  p.add_argument("--dataset", default="maestrov3",
+                 help="dataset config name (requires files on disk)")
+  p.add_argument("--data_dir", default=None,
+                 help="override dataset path root")
+  p.add_argument("--log_period", type=int, default=100)
+  p.add_argument("--seed", type=int, default=0)
+  args = p.parse_args()
+
+  import dataclasses
+  import jax
+  import jax.numpy as jnp
+
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.data import synthetic, tasks
+  from music_spectrogram_diffusion_tpu.infer import inference
+  from music_spectrogram_diffusion_tpu.midi import vocabularies
+  from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
+  from music_spectrogram_diffusion_tpu.train import loop, trainer
+
+  experiment = cfg_lib.preset(args.preset)
+  if args.steps:
+    experiment = dataclasses.replace(
+        experiment, train=dataclasses.replace(
+            experiment.train, train_steps=args.steps))
+  if args.batch:
+    experiment = dataclasses.replace(
+        experiment, train=dataclasses.replace(
+            experiment.train, batch_size=args.batch))
+
+  if args.mesh:
+    data_par, model_par = map(int, args.mesh.split("x"))
+    mesh = mesh_lib.make_mesh(data=data_par, model=model_par)
+  else:
+    mesh = mesh_lib.make_mesh(model=1)
+  print(f"mesh: {dict(mesh.shape)} over {len(jax.devices())} "
+        f"{jax.devices()[0].platform} device(s)")
+
+  model = inference.build_model(experiment)
+
+  # Data.
+  tl = experiment.task_lengths
+  lengths = {"inputs": tl.inputs, "targets": tl.targets}
+  if experiment.with_context:
+    lengths["targets_context"] = tl.targets_context
+
+  if args.synthetic:
+    source_fn = lambda: synthetic.synthetic_source(64, duration=12.0)
+  else:
+    raise NotImplementedError(
+        "real dataset reading requires TFRecords on disk; "
+        "use --synthetic or point --data_dir at local shards")
+
+  task = tasks.Task(
+      name=f"train_{args.preset}",
+      source_fn=source_fn,
+      audio_codec=model.audio_codec,
+      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+      note_rep=tasks.NoteRepresentationConfig(include_ties=True),
+      with_context=experiment.with_context)
+
+  batch_size = experiment.train.batch_size
+  ds = (task.model_dataset(lengths, training=True, seed=args.seed)
+        .repeat()
+        .batch(batch_size)
+        .prefetch(4, num_threads=4))
+
+  # Trainer + state.
+  t = trainer.Trainer(model=model, train_cfg=experiment.train, mesh=mesh)
+  first = ds.first()
+  state = t.create_state(
+      jax.random.PRNGKey(args.seed),
+      {k: v.shape for k, v in first.items()},
+      {k: jnp.asarray(v).dtype for k, v in first.items()})
+  n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
+  print(f"params: {n_params / 1e6:.1f}M")
+
+  train_loop = loop.TrainLoop(
+      trainer=t, experiment=experiment, model_dir=args.model_dir,
+      log_period=args.log_period)
+  train_loop.run(iter(ds), state, rng=jax.random.PRNGKey(args.seed + 1))
+
+
+if __name__ == "__main__":
+  main()

@@ -74,7 +74,9 @@ def network_config(size: str = "base",
                    with_context: bool = True,
                    vocab_size: Optional[int] = None,
                    dtype: str = "float32",
-                   dropout_rate: float = 0.1) -> network.NetworkConfig:
+                   dropout_rate: float = 0.1,
+                   use_fused_attention: bool = False
+                   ) -> network.NetworkConfig:
   """Build the transformer config for a given model size."""
   if size not in _SIZES:
     raise ValueError(f"Unknown size {size!r}; have {sorted(_SIZES)}")
@@ -94,6 +96,7 @@ def network_config(size: str = "base",
       cross_attend_style="concat_encodings",
       position_encoding="fixed_permuted_offset",
       context_positions=("terminal_relative" if with_context else "regular"),
+      use_fused_attention=use_fused_attention,
       **_SIZES[size])
 
 

@@ -294,11 +294,18 @@ def encode_audio(
       frames = np.pad(frames, [[0, padding], [0, 0]])
     samples = flatten_frames(frames[:max_len])
     ex[f"raw_{k}"] = samples
-    encoded = np.asarray(ac.encode(flatten_frames(frames)[None, :])[0])
-    assert encoded.shape[0] == frames.shape[0], (
+    # Zero-pad frames to the fixed maximum before encoding so every
+    # segment hits ONE compiled STFT shape (pad_end already zero-pads,
+    # so the extra zeros leave the valid frames bit-identical); slice
+    # back to the true frame count afterwards.
+    n_valid = frames.shape[0]
+    fixed_len = max_len + ac.additional_frames_for_encoding
+    padded = np.pad(frames, [[0, fixed_len - n_valid], [0, 0]])
+    encoded = np.asarray(ac.encode(flatten_frames(padded)[None, :])[0])
+    assert encoded.shape[0] == fixed_len, (
         f"Length of {k} changed during encoding: "
-        f"{frames.shape[0]} -> {encoded.shape[0]}")
-    ex[k] = encoded[:max_len].astype(np.float32)
+        f"{fixed_len} -> {encoded.shape[0]}")
+    ex[k] = encoded[:min(n_valid, max_len)].astype(np.float32)
   return ex
 
 

@@ -1,0 +1,149 @@
+"""Batch full-song evaluation driver (the reference Beam pipeline,
+single-host).
+
+Mirrors beam/evaluation.py's structure without the cluster dependency:
+songs are grouped from the task's full-song split, rendered with
+context chaining (predictions fed forward), scored (mel-space
+reconstruction + Fréchet + timing), and optionally written as WAV/npy.
+Songs are BATCHED through the model: segment i of up to
+`songs_per_batch` songs runs as one forward.
+
+The reference's embedding metrics (VGGish/TRILL via TF-Hub,
+postprocessors.py:29-98) and MT3 transcription eval need pretrained
+models with no JAX port; the hook `embedding_fn` accepts any
+[batch, samples] -> {name: [frames, dim]} callable so those plug in
+when available. Mel-space metrics are always computed.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+from music_spectrogram_diffusion_tpu.data import core
+from music_spectrogram_diffusion_tpu.infer import synthesize
+from music_spectrogram_diffusion_tpu.train import metrics as metrics_lib
+
+
+@dataclasses.dataclass
+class SongEval:
+  song_id: str
+  metrics: Dict[str, float]
+  mel_pred: Optional[np.ndarray] = None
+  mel_target: Optional[np.ndarray] = None
+  audio_pred: Optional[np.ndarray] = None
+
+
+def group_songs(ds: core.Dataset) -> Dict[str, List[dict]]:
+  """Group full-song-split examples by song id, ordered by segment."""
+  songs = collections.defaultdict(list)
+  for ex in ds:
+    key = ex.get("id", "")
+    key = key.decode() if isinstance(key, bytes) else str(key)
+    songs[key].append(ex)
+  for segs in songs.values():
+    segs.sort(key=lambda e: int(e.get("segment_index", 0)))
+  return dict(songs)
+
+
+def evaluate_songs(
+    synth: synthesize.Synthesizer,
+    songs: Mapping[str, Sequence[dict]],
+    *,
+    songs_per_batch: int = 4,
+    rng=None,
+    vocode: bool = False,
+    embedding_fn: Optional[Callable] = None,
+    keep_arrays: bool = False,
+    prediction_source: str = "model",
+) -> List[SongEval]:
+  """Render + score a set of songs.
+
+  prediction_source: 'model' renders with the model; 'gt_encoded' scores
+  the ground-truth mel against itself (metric ceiling, reference
+  beam/evaluation.py:70-72).
+  """
+  import jax
+  if rng is None:
+    rng = jax.random.PRNGKey(0)
+
+  results: List[SongEval] = []
+  song_items = list(songs.items())
+  for start in range(0, len(song_items), songs_per_batch):
+    chunk = song_items[start:start + songs_per_batch]
+    ids = [k for k, _ in chunk]
+    token_lists = [[np.asarray(s["inputs"]) for s in segs]
+                   for _, segs in chunk]
+
+    if prediction_source == "model":
+      renders = synth.render_songs(token_lists, rng=rng, vocode=vocode)
+    elif prediction_source == "gt_encoded":
+      renders = []
+      for _, segs in chunk:
+        mel = np.concatenate([np.asarray(s["targets"]) for s in segs])
+        renders.append(synthesize.SongRender(
+            mel=mel, audio=None, timings={}))
+    else:
+      raise ValueError(f"unknown prediction_source {prediction_source}")
+
+    for (song_id, segs), render in zip(chunk, renders):
+      target_mel = np.concatenate(
+          [np.asarray(s["targets"]) for s in segs], axis=0)
+      n = min(len(target_mel), len(render.mel))
+      m = metrics_lib.mel_spectral_metrics(target_mel[:n],
+                                           render.mel[:n])
+      m.update({f"timing/{k}": v for k, v in render.timings.items()})
+      if embedding_fn is not None and render.audio is not None:
+        raw_target = np.concatenate(
+            [np.asarray(s["raw_targets"]) for s in segs
+             if "raw_targets" in s]) if "raw_targets" in segs[0] else None
+        if raw_target is not None:
+          emb_t = embedding_fn(raw_target)
+          emb_p = embedding_fn(render.audio[:len(raw_target)])
+          rec = metrics_lib.reconstruction_metrics(
+              [{"embeddings": emb_t}], [{"embeddings": emb_p}])
+          m.update(rec)
+      results.append(SongEval(
+          song_id=song_id, metrics=m,
+          mel_pred=render.mel[:n] if keep_arrays else None,
+          mel_target=target_mel[:n] if keep_arrays else None,
+          audio_pred=render.audio if keep_arrays else None))
+  return results
+
+
+def aggregate(results: Sequence[SongEval]) -> Dict[str, float]:
+  """Mean of each metric over songs + example count."""
+  agg = collections.defaultdict(list)
+  for r in results:
+    for k, v in r.metrics.items():
+      agg[k].append(v)
+  out = {k: float(np.mean(v)) for k, v in agg.items()}
+  out["num_songs"] = len(results)
+  return out
+
+
+def write_outputs(results: Sequence[SongEval], output_dir: str,
+                  sample_rate: int = 16000) -> None:
+  """Serialize per-song artifacts + aggregated metrics JSON."""
+  from music_spectrogram_diffusion_tpu.audio import wav_io
+  os.makedirs(output_dir, exist_ok=True)
+  for r in results:
+    safe = r.song_id.replace("/", "_") or "song"
+    if r.mel_pred is not None:
+      np.save(os.path.join(output_dir, f"{safe}_pred.npy"), r.mel_pred)
+    if r.mel_target is not None:
+      np.save(os.path.join(output_dir, f"{safe}_target.npy"),
+              r.mel_target)
+    if r.audio_pred is not None:
+      wav_io.write_wav(os.path.join(output_dir, f"{safe}_pred.wav"),
+                       r.audio_pred, sample_rate)
+  with open(os.path.join(output_dir, "metrics.json"), "w") as f:
+    json.dump({
+        "aggregate": aggregate(results),
+        "per_song": {r.song_id: r.metrics for r in results},
+    }, f, indent=2)

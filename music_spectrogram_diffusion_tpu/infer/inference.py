@@ -1,0 +1,99 @@
+"""Checkpoint -> ready-to-predict model wrapper.
+
+Equivalent of the reference InferenceModel
+(/root/reference/music_spectrogram_diffusion/inference.py): where the
+reference re-parses the training gin serialized into the checkpoint dir,
+here the checkpoint carries its ExperimentConfig as JSON, so restoring is
+config = JSON, model = factory(config), params = orbax restore.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_spectrogram_diffusion_tpu import config as cfg_lib
+from music_spectrogram_diffusion_tpu.audio import codecs
+from music_spectrogram_diffusion_tpu.models.diffusion import (
+    model as diffusion_model, network as diffusion_network)
+from music_spectrogram_diffusion_tpu.ops import diffusion as dops
+from music_spectrogram_diffusion_tpu.train import checkpoints
+
+
+def build_model(experiment: cfg_lib.ExperimentConfig):
+  """Construct the (module, model) pair an ExperimentConfig describes."""
+  net_cfg = experiment.network()
+  codec = codecs.get_codec(experiment.codec_name)
+  if experiment.with_context:
+    module = diffusion_network.ContextTransformer(config=net_cfg)
+    model = diffusion_model.ContextDiffusionModel(
+        module, experiment.diffusion, codec)
+  else:
+    module = diffusion_network.Transformer(config=net_cfg)
+    model = diffusion_model.DiffusionModel(
+        module, experiment.diffusion, codec)
+  return model
+
+
+class InferenceModel:
+  """Restores a trained model and exposes a partitioned predict()."""
+
+  def __init__(self, checkpoint_path: str,
+               experiment: Optional[cfg_lib.ExperimentConfig] = None,
+               sampler_steps: Optional[int] = None):
+    """Args:
+      checkpoint_path: step_<N> dir (or parent; picks latest).
+      experiment: override config (otherwise read from the checkpoint).
+      sampler_steps: optionally override the sampler step count (e.g. 50
+        for fast drafts vs the reference's 1000).
+    """
+    restored = checkpoints.restore_checkpoint(checkpoint_path)
+    if experiment is None:
+      if "config_json" not in restored:
+        raise ValueError(
+            f"{checkpoint_path} has no config.json; pass `experiment`")
+      experiment = cfg_lib.ExperimentConfig.from_json(
+          restored["config_json"])
+    if sampler_steps is not None:
+      import dataclasses
+      experiment = dataclasses.replace(
+          experiment,
+          diffusion=dataclasses.replace(
+              experiment.diffusion,
+              sampler=dataclasses.replace(
+                  experiment.diffusion.sampler, num_steps=sampler_steps)))
+    self.experiment = experiment
+    self.model = build_model(experiment)
+    self.params = restored["params"]
+    self.step = restored.get("step", -1)
+    self._predict = jax.jit(
+        lambda p, b, k: self.model.predict(p, b, k))
+
+  @property
+  def task_lengths(self) -> Dict[str, int]:
+    tl = self.experiment.task_lengths
+    out = {"inputs": tl.inputs, "targets": tl.targets}
+    if self.experiment.with_context:
+      out["targets_context"] = tl.targets_context
+    return out
+
+  @property
+  def audio_codec(self) -> codecs.AudioCodec:
+    return self.model.audio_codec
+
+  def predict(self, batch: Mapping[str, np.ndarray],
+              seed: int = 0) -> np.ndarray:
+    """Run one batched segment prediction; returns mel features."""
+    features, _ = self._predict(
+        self.params, {k: jnp.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(seed))
+    return np.asarray(features)
+
+  def synthesizer(self, vocoder=None):
+    from music_spectrogram_diffusion_tpu.infer import synthesize
+    return synthesize.Synthesizer(
+        self.model, self.params, self.task_lengths, vocoder=vocoder)

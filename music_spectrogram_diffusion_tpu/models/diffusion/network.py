@@ -63,6 +63,9 @@ class NetworkConfig:
   # can be built in setup(); segments are fixed-size by construction).
   max_target_length: int = 256
   output_dim: int = 128
+  # Route attention through the Pallas fused kernel (inference-time;
+  # ignored wherever dropout is active).
+  use_fused_attention: bool = False
 
 
 def sequence_length_from_mask(mask: Array) -> Array:
@@ -117,7 +120,8 @@ class EncoderLayer(nn.Module):
     x = layers.MultiHeadAttention(
         num_heads=cfg.num_heads, head_dim=cfg.head_dim,
         out_features=cfg.emb_dim, dtype=cfg.dtype,
-        dropout_rate=cfg.dropout_rate, name="attention")(
+        dropout_rate=cfg.dropout_rate,
+        use_fused_attention=cfg.use_fused_attention, name="attention")(
             x, x, attn_mask, deterministic=deterministic)
     x = nn.Dropout(rate=cfg.dropout_rate, broadcast_dims=(-2,))(
         x, deterministic=deterministic)
@@ -149,7 +153,9 @@ class DecoderLayer(nn.Module):
     self.self_attention = layers.MultiHeadAttention(
         num_heads=cfg.num_heads, head_dim=cfg.head_dim,
         out_features=cfg.emb_dim, dtype=cfg.dtype,
-        dropout_rate=cfg.dropout_rate, name="self_attention")
+        dropout_rate=cfg.dropout_rate,
+        use_fused_attention=cfg.use_fused_attention,
+        name="self_attention")
     self.pre_cross_attention_norm = layers.RMSNorm(
         dtype=cfg.dtype, name="pre_cross_attention_norm")
     if cfg.cross_attend_style == "concat_encodings":
@@ -164,7 +170,9 @@ class DecoderLayer(nn.Module):
         layers.MultiHeadAttention(
             num_heads=cfg.num_heads, head_dim=cfg.head_dim,
             out_features=cfg.emb_dim, dtype=cfg.dtype,
-            dropout_rate=cfg.dropout_rate, name=f"cross_attention_{i}")
+            dropout_rate=cfg.dropout_rate,
+            use_fused_attention=cfg.use_fused_attention,
+            name=f"cross_attention_{i}")
         for i in range(n_cross)]
     self.pre_mlp_norm = layers.RMSNorm(dtype=cfg.dtype, name="pre_mlp_norm")
     self.mlp_film = layers.FiLM(name="mlp_film")

@@ -237,6 +237,9 @@ class MultiHeadAttention(nn.Module):
   kernel_init: Initializer = nn.initializers.variance_scaling(
       1.0, "fan_in", "normal")
   float32_logits: bool = False
+  # Use the Pallas fused-attention kernel (ops/attention.py). Only takes
+  # effect when attention dropout is inactive (the kernel has no dropout).
+  use_fused_attention: bool = False
 
   def setup(self):
     depth_scaling = jnp.sqrt(self.head_dim).astype(jnp.float32)
@@ -284,9 +287,18 @@ class MultiHeadAttention(nn.Module):
       attention_bias = bias if attention_bias is None else (
           attention_bias + bias)
 
-    dropout_rng = None
-    if not deterministic and self.dropout_rate > 0.0:
-      dropout_rng = self.make_rng("dropout")
+    dropout_active = not deterministic and self.dropout_rate > 0.0
+    if self.use_fused_attention and not dropout_active:
+      from music_spectrogram_diffusion_tpu.ops import attention as fused
+      if attention_bias is not None:
+        attention_bias = jnp.broadcast_to(
+            attention_bias,
+            (query.shape[0], attention_bias.shape[1], query.shape[1],
+             key.shape[1]))
+      x = fused.fused_attention(query, key, value, attention_bias)
+      return self.out_proj(x.astype(self.dtype))
+
+    dropout_rng = self.make_rng("dropout") if dropout_active else None
 
     x = dot_product_attention(
         query, key, value, bias=attention_bias, dropout_rng=dropout_rng,

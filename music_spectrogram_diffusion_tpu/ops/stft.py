@@ -97,6 +97,32 @@ def stft_magnitude(audio: Array, *, frame_length: int, frame_step: int,
   return jnp.abs(jnp.fft.rfft(frames, n=fft_length, axis=-1))
 
 
+def _overlap_add(frames: Array, frame_step: int) -> Array:
+  """Overlap-add [..., n_frames, frame_length] -> [..., total].
+
+  Fast path (frame_length % frame_step == 0, e.g. 640/320): each frame
+  splits into k hop-sized pieces and OLA becomes k shifted adds — no
+  scatter, fully vectorized on the VPU. Falls back to scatter-add for
+  irregular geometries.
+  """
+  *batch, n_frames, frame_length = frames.shape
+  total = (n_frames - 1) * frame_step + frame_length
+  if frame_length % frame_step == 0:
+    k = frame_length // frame_step
+    pieces = frames.reshape(tuple(batch) + (n_frames, k, frame_step))
+    out = jnp.zeros(tuple(batch) + (n_frames + k - 1, frame_step),
+                    frames.dtype)
+    for j in range(k):
+      pad = [(0, 0)] * len(batch) + [(j, k - 1 - j), (0, 0)]
+      out = out + jnp.pad(pieces[..., :, j, :], pad)
+    return out.reshape(tuple(batch) + (-1,))[..., :total]
+  idx = (np.arange(frame_length)[None, :] +
+         frame_step * np.arange(n_frames)[:, None]).reshape(-1)
+  flat = frames.reshape(tuple(batch) + (-1,))
+  out = jnp.zeros(tuple(batch) + (total,), flat.dtype)
+  return out.at[..., idx].add(flat)
+
+
 def istft(stft_matrix: Array, *, frame_length: int, frame_step: int,
           fft_length: int, num_samples: int) -> Array:
   """Inverse STFT with Hann synthesis window + overlap-add (jit-able)."""
@@ -106,19 +132,11 @@ def istft(stft_matrix: Array, *, frame_length: int, frame_step: int,
   frames = frames * window
 
   n_frames = frames.shape[-2]
-  total = (n_frames - 1) * frame_step + frame_length
-  batch_shape = frames.shape[:-2]
-
-  # Overlap-add via scatter-add on a frame-index map.
-  idx = (np.arange(frame_length)[None, :] +
-         frame_step * np.arange(n_frames)[:, None]).reshape(-1)
-  flat = frames.reshape(batch_shape + (-1,))
-  out = jnp.zeros(batch_shape + (total,), flat.dtype)
-  out = out.at[..., idx].add(flat)
+  out = _overlap_add(frames, frame_step)
 
   # Window-envelope normalization.
-  env = jnp.zeros((total,), jnp.float32)
-  env = env.at[idx].add(jnp.tile(window * window, n_frames))
+  env_frames = jnp.broadcast_to(window * window, (n_frames, frame_length))
+  env = _overlap_add(env_frames, frame_step)
   out = out / jnp.maximum(env, 1e-8)
   return out[..., :num_samples]
 

@@ -178,5 +178,12 @@ def mel_spectral_metrics(target_mel: np.ndarray,
   tg, pg = StreamingMultivariateGaussian(), StreamingMultivariateGaussian()
   tg.update(t)
   pg.update(p)
-  out["mel_frechet"] = frechet_distance(tg.mu, tg.sigma, pg.mu, pg.sigma)
+  try:
+    out["mel_frechet"] = frechet_distance(tg.mu, tg.sigma, pg.mu, pg.sigma)
+  except ValueError:
+    # Degenerate covariance (e.g. constant frames / random-weight runs):
+    # fall back to the diagonal-covariance distance.
+    out["mel_frechet"] = frechet_distance(
+        tg.mu, np.diagonal(tg.sigma).copy(),
+        pg.mu, np.diagonal(pg.sigma).copy())
   return out

@@ -104,6 +104,12 @@ class Trainer:
 
   def shard_batch(self, batch: Dict[str, Array]) -> Dict[str, Array]:
     """Place a host batch on the mesh, sharded over the 'data' axis."""
+    data_size = self.mesh.shape["data"]
+    batch_size = next(iter(batch.values())).shape[0]
+    if batch_size % data_size != 0:
+      raise ValueError(
+          f"batch size {batch_size} is not divisible by the data mesh "
+          f"axis ({data_size} devices)")
     sh = mesh_lib.batch_sharding(self.mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
