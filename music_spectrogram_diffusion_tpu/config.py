@@ -112,6 +112,10 @@ class ExperimentConfig:
   diffusion: dops.DiffusionConfig = dops.DiffusionConfig()
   train: TrainConfig = TrainConfig()
   vocab_size: Optional[int] = None
+  # 'diffusion' | 'autoregressive'; AR models ignore `with_context` and
+  # `diffusion` and use `ar_output` as the output head.
+  model_family: str = "diffusion"
+  ar_output: str = "deterministic"  # 'deterministic' | 'gaussian_mixture'
 
   def network(self) -> network.NetworkConfig:
     return network_config(
@@ -151,6 +155,14 @@ def preset(name: str) -> ExperimentConfig:
       "context_small": ExperimentConfig(size="small", with_context=True),
       "context_base": ExperimentConfig(size="base", with_context=True),
       "context_large": ExperimentConfig(size="large", with_context=True),
+      # Autoregressive baselines (reference gin/models/autoregressive/
+      # deterministic/t5_{small,base}.gin).
+      "ar_tiny": ExperimentConfig(size="tiny", with_context=False,
+                                  model_family="autoregressive"),
+      "ar_small": ExperimentConfig(size="small", with_context=False,
+                                   model_family="autoregressive"),
+      "ar_base": ExperimentConfig(size="base", with_context=False,
+                                  model_family="autoregressive"),
   }
   if name not in presets:
     raise ValueError(f"Unknown preset {name!r}; have {sorted(presets)}")

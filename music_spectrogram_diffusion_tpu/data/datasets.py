@@ -63,8 +63,19 @@ def int64_seq_feature() -> FeatureSpec:
 # ---------------------------------------------------------------------------
 
 
-def iter_tfrecords(path: str) -> Iterator[bytes]:
-  """Yield raw records from a TFRecord file (no CRC verification)."""
+def iter_tfrecords(path: str, verify_crc: bool = False) -> Iterator[bytes]:
+  """Yield raw records from a TFRecord file.
+
+  Uses the native C++ splitter (music_spectrogram_diffusion_tpu/native)
+  when a toolchain is available; otherwise a pure-Python reader.
+  """
+  from music_spectrogram_diffusion_tpu import native
+  native_mod = native.get()
+  if native_mod is not None:
+    with open(path, "rb") as f:
+      data = f.read()
+    yield from native_mod.split_tfrecords(data, verify_crc)
+    return
   with open(path, "rb") as f:
     while True:
       header = f.read(8)

@@ -28,6 +28,29 @@ def build_model(experiment: cfg_lib.ExperimentConfig):
   """Construct the (module, model) pair an ExperimentConfig describes."""
   net_cfg = experiment.network()
   codec = codecs.get_codec(experiment.codec_name)
+  if experiment.model_family == "autoregressive":
+    from music_spectrogram_diffusion_tpu.models.autoregressive import (
+        model as ar_model, network as ar_network, output_functions)
+    if experiment.ar_output == "deterministic":
+      output_fn = output_functions.Deterministic()
+      output_dim = 0
+    elif experiment.ar_output == "gaussian_mixture":
+      output_fn = output_functions.GaussianMixture(
+          n_components=10, dims_per_component=codec.n_dims)
+      output_dim = output_fn.expected_num_dims
+    else:
+      raise ValueError(f"unknown ar_output: {experiment.ar_output}")
+    ar_cfg = ar_network.ARConfig(
+        vocab_size=net_cfg.vocab_size, dtype=net_cfg.dtype,
+        emb_dim=net_cfg.emb_dim, num_heads=net_cfg.num_heads,
+        num_encoder_layers=net_cfg.num_encoder_layers,
+        num_decoder_layers=net_cfg.num_decoder_layers,
+        head_dim=net_cfg.head_dim, mlp_dim=net_cfg.mlp_dim,
+        output_dim=output_dim, audio_dim=codec.n_dims,
+        mlp_activations=net_cfg.mlp_activations,
+        dropout_rate=net_cfg.dropout_rate)
+    module = ar_network.ARTransformer(config=ar_cfg)
+    return ar_model.AutoregressiveModel(module, output_fn, codec)
   if experiment.with_context:
     module = diffusion_network.ContextTransformer(config=net_cfg)
     model = diffusion_model.ContextDiffusionModel(

@@ -117,11 +117,12 @@ class EncoderLayer(nn.Module):
     attn_mask = layers.make_attention_mask(mask, mask, dtype=cfg.dtype)
 
     x = layers.RMSNorm(dtype=cfg.dtype, name="pre_attention_norm")(inputs)
+    # Encoders keep the XLA attention path: they run once per segment
+    # (the fused kernel's payoff is in the 1000x-repeated decoder).
     x = layers.MultiHeadAttention(
         num_heads=cfg.num_heads, head_dim=cfg.head_dim,
         out_features=cfg.emb_dim, dtype=cfg.dtype,
-        dropout_rate=cfg.dropout_rate,
-        use_fused_attention=cfg.use_fused_attention, name="attention")(
+        dropout_rate=cfg.dropout_rate, name="attention")(
             x, x, attn_mask, deterministic=deterministic)
     x = nn.Dropout(rate=cfg.dropout_rate, broadcast_dims=(-2,))(
         x, deterministic=deterministic)

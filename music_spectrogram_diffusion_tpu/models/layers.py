@@ -259,11 +259,18 @@ class MultiHeadAttention(nn.Module):
         dtype=self.dtype, name="out")
 
   def project_kv(self, inputs_kv: Array) -> Tuple[Array, Array]:
-    """Project a memory into (key, value), each [b, l, heads, head_dim]."""
+    """Project a memory into (key, value).
+
+    Layout is [b, l, heads, head_dim] normally; with use_fused_attention
+    the fused kernel's native [b, heads, l, head_dim] — so cached K/V is
+    stored pre-transposed and per-step calls skip the transpose."""
     key = self.key_proj(inputs_kv)
     value = self.value_proj(inputs_kv)
     key = with_sharding_constraint(key, ("batch", "length", "heads", "kv"))
     value = with_sharding_constraint(value, ("batch", "length", "heads", "kv"))
+    if self.use_fused_attention:
+      from music_spectrogram_diffusion_tpu.ops import attention as fused
+      return fused.transpose_kv(key, value)
     return key, value
 
   def __call__(self,
@@ -290,13 +297,14 @@ class MultiHeadAttention(nn.Module):
     dropout_active = not deterministic and self.dropout_rate > 0.0
     if self.use_fused_attention and not dropout_active:
       from music_spectrogram_diffusion_tpu.ops import attention as fused
-      if attention_bias is not None:
-        attention_bias = jnp.broadcast_to(
-            attention_bias,
-            (query.shape[0], attention_bias.shape[1], query.shape[1],
-             key.shape[1]))
-      x = fused.fused_attention(query, key, value, attention_bias)
+      x = fused.fused_attention(query, key, value, attention_bias,
+                                kv_transposed=True)
       return self.out_proj(x.astype(self.dtype))
+    if self.use_fused_attention:
+      # KV came back in the fused layout but we need the XLA path
+      # (attention dropout active); undo the transpose.
+      key = jnp.transpose(key, (0, 2, 1, 3))
+      value = jnp.transpose(value, (0, 2, 1, 3))
 
     dropout_rng = self.make_rng("dropout") if dropout_active else None
 

@@ -61,6 +61,26 @@ class TrainLoop:
   log_period: int = 100
   eval_fn: Optional[Callable[[trainer_lib.TrainState], Dict[str, float]]] = None
 
+  def maybe_resume(self, state: trainer_lib.TrainState
+                   ) -> trainer_lib.TrainState:
+    """Resume params/step from the latest checkpoint in model_dir, if
+    any (reference gin/resume.gin semantics: optimizer state rebuilds
+    from scratch, momentumless Adafactor tolerates this)."""
+    latest = checkpoints.latest_checkpoint(self.model_dir)
+    if latest is None:
+      return state
+    restored = checkpoints.restore_checkpoint(
+        latest, target={"params": jax.tree.map(np.asarray, state.params)})
+    params = jax.tree.map(
+        lambda a, b: jax.device_put(b, a.sharding),
+        state.params, restored["params"])
+    step = restored.get("step", 0)
+    print(f"resumed from {latest} at step {step}")
+    import jax.numpy as jnp
+    return trainer_lib.TrainState(
+        step=jnp.asarray(step, jnp.int32), params=params,
+        opt_state=state.opt_state)
+
   def run(self,
           train_iter: Iterator[Dict[str, np.ndarray]],
           state: trainer_lib.TrainState,

@@ -86,3 +86,27 @@ def test_model_timing():
   out = metrics.model_timing([{}, {}], preds)
   np.testing.assert_allclose(
       out["prediction_seconds_per_audio_second"], 1.0)
+
+
+def test_summary_writer(tmp_path):
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.train import summaries
+  import os, json
+  w = summaries.SummaryWriter(str(tmp_path), codecs.MelGan())
+  feats = np.random.RandomState(0).uniform(-11, 4, (64, 128))
+  p = w.add_spectrogram_image("pred/0", 10, feats)
+  assert p and os.path.exists(p)
+  audio = np.random.RandomState(1).randn(16000).astype(np.float32) * 0.1
+  a = w.add_audio("pred/0", 10, audio)
+  assert a and os.path.exists(a)
+  w.add_scalars(10, {"loss": 1.5})
+  idx = json.load(open(os.path.join(tmp_path, "index.json")))
+  assert idx["images"] and idx["audio"] and idx["scalars"]
+
+
+def test_summary_audio_cap(tmp_path):
+  from music_spectrogram_diffusion_tpu.train import summaries
+  w = summaries.SummaryWriter(str(tmp_path))
+  big = np.zeros(summaries.MAX_AUDIO_BYTES // 2 - 100, np.float32)
+  assert w.add_audio("a", 0, big) is not None
+  assert w.add_audio("b", 0, big) is None  # over the cap

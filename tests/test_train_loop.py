@@ -102,3 +102,34 @@ def test_experiment_config_json_roundtrip():
   text = exp.to_json()
   exp2 = cfg_lib.ExperimentConfig.from_json(text)
   assert exp2 == exp
+
+
+def test_resume_from_checkpoint(tmp_path):
+  """maybe_resume picks up params + step from the latest checkpoint."""
+  model_dir = str(tmp_path / "resume_run")
+  experiment = tiny_experiment(model_dir)
+  model = inference.build_model(experiment)
+  task = tasks.Task(
+      name="tiny_resume",
+      source_fn=lambda: synthetic.synthetic_source(2, duration=3.0),
+      audio_codec=model.audio_codec,
+      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+      note_rep=tasks.NoteRepresentationConfig(include_ties=True))
+  ds = task.model_dataset(LENGTHS, training=True).repeat().batch(2)
+  mesh = mesh_lib.make_mesh(data=2, model=1, devices=jax.devices()[:2])
+  t = trainer.Trainer(model=model, train_cfg=experiment.train, mesh=mesh)
+  first = ds.first()
+  shapes = {k: v.shape for k, v in first.items()}
+  types = {k: jnp.asarray(v).dtype for k, v in first.items()}
+  state = t.create_state(jax.random.PRNGKey(0), shapes, types)
+  train_loop = loop.TrainLoop(
+      trainer=t, experiment=experiment, model_dir=model_dir, log_period=10)
+  state = train_loop.run(iter(ds), state, num_steps=3)
+
+  # Fresh state resumes to step 3 with the trained params.
+  state2 = t.create_state(jax.random.PRNGKey(99), shapes, types)
+  resumed = train_loop.maybe_resume(state2)
+  assert int(resumed.step) == 3
+  a = jax.tree_util.tree_leaves(state.params)[0]
+  b = jax.tree_util.tree_leaves(resumed.params)[0]
+  np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
