@@ -1,0 +1,139 @@
+"""Vocoder training: mel -> audio with multi-resolution spectral losses.
+
+The reference consumes a frozen TF-Hub SoundStream inverter and cannot
+train one. This module trains audio/vocoder.SoundStreamDecoder from
+(audio, mel) pairs with the standard neural-vocoder reconstruction
+objective (multi-resolution STFT loss: spectral convergence + log-mag L1,
+plus waveform L1). Adversarial fine-tuning (the GAN half of SoundStream)
+can be layered on top; reconstruction-only training already yields a
+usable inverter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from music_spectrogram_diffusion_tpu.audio import codecs
+from music_spectrogram_diffusion_tpu.audio import vocoder as vocoder_lib
+from music_spectrogram_diffusion_tpu.ops import stft as stft_ops
+
+Array = jnp.ndarray
+
+# (fft_length, hop, win) triples for the multi-resolution loss.
+DEFAULT_RESOLUTIONS: Tuple[Tuple[int, int, int], ...] = (
+    (2048, 512, 1200), (1024, 256, 600), (512, 128, 240),
+)
+
+
+def stft_loss(pred: Array, target: Array,
+              resolutions=DEFAULT_RESOLUTIONS) -> Dict[str, Array]:
+  """Multi-resolution STFT loss (Yamamoto et al. 2020)."""
+  sc_total = 0.0
+  mag_total = 0.0
+  for n_fft, hop, win in resolutions:
+    p = stft_ops.stft_magnitude(pred, frame_length=win, frame_step=hop,
+                                fft_length=n_fft)
+    t = stft_ops.stft_magnitude(target, frame_length=win, frame_step=hop,
+                                fft_length=n_fft)
+    sc = jnp.linalg.norm(t - p) / jnp.maximum(jnp.linalg.norm(t), 1e-6)
+    mag = jnp.mean(jnp.abs(jnp.log(jnp.maximum(t, 1e-5)) -
+                           jnp.log(jnp.maximum(p, 1e-5))))
+    sc_total = sc_total + sc
+    mag_total = mag_total + mag
+  n = len(resolutions)
+  return {"spectral_convergence": sc_total / n,
+          "log_magnitude": mag_total / n}
+
+
+@flax.struct.dataclass
+class VocoderTrainState:
+  step: Array
+  params: flax.core.FrozenDict
+  opt_state: optax.OptState
+
+
+@dataclasses.dataclass
+class VocoderTrainer:
+  """Reconstruction trainer for the SoundStream-style mel inverter."""
+  decoder: vocoder_lib.SoundStreamDecoder
+  audio_codec: codecs.AudioCodec
+  learning_rate: float = 1e-4
+  waveform_weight: float = 10.0
+
+  def __post_init__(self):
+    self.optimizer = optax.adamw(self.learning_rate)
+    self._step_fn = None
+
+  def create_state(self, rng: jax.Array, mel_frames: int = 64
+                   ) -> VocoderTrainState:
+    mel = jnp.zeros((1, mel_frames, self.audio_codec.n_dims))
+    params = self.decoder.init(rng, mel)
+    return VocoderTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=self.optimizer.init(params))
+
+  def loss_fn(self, params, mel: Array, audio: Array
+              ) -> Tuple[Array, Dict[str, Array]]:
+    pred = self.decoder.apply(params, mel)
+    n = min(pred.shape[-1], audio.shape[-1])
+    pred, audio = pred[..., :n], audio[..., :n]
+    losses = stft_loss(pred, audio)
+    wav_l1 = jnp.mean(jnp.abs(pred - audio))
+    total = (losses["spectral_convergence"] + losses["log_magnitude"] +
+             self.waveform_weight * wav_l1)
+    metrics = dict(losses)
+    metrics["waveform_l1"] = wav_l1
+    metrics["loss"] = total
+    return total, metrics
+
+  def train_step(self, state: VocoderTrainState, mel: Array,
+                 audio: Array) -> Tuple[VocoderTrainState, Dict]:
+    if self._step_fn is None:
+      def step(state, mel, audio):
+        (_, metrics), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(state.params, mel, audio)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return VocoderTrainState(
+            step=state.step + 1, params=params,
+            opt_state=opt_state), metrics
+      self._step_fn = jax.jit(step, donate_argnums=(0,))
+    return self._step_fn(state, mel, audio)
+
+  def as_codec_decoder(self, state: VocoderTrainState):
+    """(apply_fn, params) pair for AudioCodec.set_vocoder."""
+    fn = jax.jit(lambda params, feats: self.decoder.apply(params, feats))
+    return fn, state.params
+
+
+def vocoder_batches(audio_source: Iterator[np.ndarray],
+                    audio_codec: codecs.AudioCodec,
+                    *,
+                    segment_frames: int = 64,
+                    batch_size: int = 8,
+                    seed: int = 0) -> Iterator[Tuple[Array, Array]]:
+  """(mel, audio) training pairs from raw audio clips."""
+  rng = np.random.RandomState(seed)
+  hop = audio_codec.hop_size
+  seg_samples = segment_frames * hop
+  mels, audios = [], []
+  for clip in audio_source:
+    clip = np.asarray(clip, np.float32)
+    if len(clip) < seg_samples:
+      continue
+    start = rng.randint(0, len(clip) - seg_samples + 1)
+    seg = clip[start:start + seg_samples]
+    mel = np.asarray(audio_codec.encode(seg[None]))[0][:segment_frames]
+    mels.append(mel)
+    audios.append(seg)
+    if len(mels) == batch_size:
+      yield jnp.asarray(np.stack(mels)), jnp.asarray(np.stack(audios))
+      mels, audios = [], []

@@ -67,12 +67,15 @@ class InferenceModel:
 
   def __init__(self, checkpoint_path: str,
                experiment: Optional[cfg_lib.ExperimentConfig] = None,
-               sampler_steps: Optional[int] = None):
+               sampler_steps: Optional[int] = None,
+               mesh: Optional[jax.sharding.Mesh] = None):
     """Args:
       checkpoint_path: step_<N> dir (or parent; picks latest).
       experiment: override config (otherwise read from the checkpoint).
       sampler_steps: optionally override the sampler step count (e.g. 50
         for fast drafts vs the reference's 1000).
+      mesh: optional ('data','model') mesh — params are sharded by the
+        logical-axis rules and the batch over 'data' (multi-chip serve).
     """
     restored = checkpoints.restore_checkpoint(checkpoint_path)
     if experiment is None:
@@ -93,8 +96,33 @@ class InferenceModel:
     self.model = build_model(experiment)
     self.params = restored["params"]
     self.step = restored.get("step", -1)
+    self.mesh = mesh
+    if mesh is not None:
+      self.params = self._shard_params(mesh)
     self._predict = jax.jit(
         lambda p, b, k: self.model.predict(p, b, k))
+
+  def _shard_params(self, mesh):
+    """Lay the restored params out on the mesh via logical-axis rules."""
+    from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
+    tl = self.task_lengths
+    shapes = {
+        "encoder_input_tokens": (1, tl["inputs"]),
+        "decoder_target_tokens": (1, tl["targets"],
+                                  self.model.audio_codec.n_dims),
+    }
+    if self.experiment.with_context:
+      shapes["encoder_continuous_inputs"] = (
+          1, tl["targets_context"], self.model.audio_codec.n_dims)
+      shapes["encoder_continuous_mask"] = (1, tl["targets_context"])
+    with mesh, mesh_lib.axis_rules():
+      variables = jax.eval_shape(
+          lambda r: self.model.init_variables(r, shapes),
+          jax.random.PRNGKey(0))
+    shardings = mesh_lib.param_shardings(variables, mesh)
+    return jax.tree.map(
+        lambda p, s: jax.device_put(np.asarray(p), s),
+        self.params, shardings)
 
   @property
   def task_lengths(self) -> Dict[str, int]:

@@ -110,3 +110,42 @@ def test_summary_audio_cap(tmp_path):
   big = np.zeros(summaries.MAX_AUDIO_BYTES // 2 - 100, np.float32)
   assert w.add_audio("a", 0, big) is not None
   assert w.add_audio("b", 0, big) is None  # over the cap
+
+
+def test_transcription_note_scores():
+  from music_spectrogram_diffusion_tpu.infer import transcription
+  from music_spectrogram_diffusion_tpu.midi import sequences
+
+  ref = sequences.NoteSequence()
+  ref.add(start_time=0.1, end_time=0.5, pitch=60, velocity=100, program=0)
+  ref.add(start_time=0.5, end_time=0.9, pitch=64, velocity=100, program=0)
+  ref.add(start_time=1.0, end_time=1.4, pitch=67, velocity=100, program=9)
+
+  # Perfect transcription -> F1 = 1 at every granularity.
+  out = transcription.note_onset_scores(ref, ref, "full")
+  assert out["Onset + program precision/recall/F1 (full) F1"] == 1.0
+
+  # One onset off by 30ms (within tolerance), one note missing.
+  est = sequences.NoteSequence()
+  est.add(start_time=0.13, end_time=0.5, pitch=60, velocity=100, program=0)
+  est.add(start_time=1.0, end_time=1.4, pitch=67, velocity=100, program=9)
+  out = transcription.note_onset_scores(ref, est, "full")
+  key = "Onset + program precision/recall/F1 (full)"
+  assert out[f"{key} precision"] == 1.0
+  np.testing.assert_allclose(out[f"{key} recall"], 2 / 3)
+
+  # 'flat' granularity forgives the wrong program.
+  est2 = sequences.NoteSequence()
+  est2.add(start_time=0.1, end_time=0.5, pitch=60, velocity=100,
+           program=40)
+  out_full = transcription.note_onset_scores(ref, est2, "full")
+  out_flat = transcription.note_onset_scores(ref, est2, "flat")
+  assert out_full["Onset + program precision/recall/F1 (full) F1"] == 0.0
+  assert out_flat["Onset + program precision/recall/F1 (flat) F1"] > 0
+
+  # Aggregation shape with GT ceiling.
+  agg = transcription.transcription_metrics(
+      [{"sequence": ref, "transcribed_audio": ref}],
+      [{"transcribed_audio": est}])
+  assert any(k.startswith("Model ") for k in agg)
+  assert any(k.startswith("GT ") for k in agg)

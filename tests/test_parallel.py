@@ -110,3 +110,49 @@ def test_data_parallel_matches_single_device():
 
   np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
                              rtol=1e-4)
+
+
+def test_sharded_inference_matches_single_device(tmp_path):
+  """InferenceModel with a mesh: tensor-parallel predict == unsharded."""
+  import dataclasses
+  import os
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.infer import inference
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  lengths = cfg_lib.TaskLengths(inputs=16, targets=8, targets_context=8)
+  experiment = dataclasses.replace(
+      cfg_lib.preset("context_tiny"),
+      vocab_size=256,
+      task_lengths=lengths,
+      dropout_rate=0.0,
+      diffusion=dataclasses.replace(
+          cfg_lib.ExperimentConfig().diffusion,
+          sampler=dataclasses.replace(
+              cfg_lib.ExperimentConfig().diffusion.sampler, num_steps=2)))
+  m = inference.build_model(experiment)
+  shapes = {
+      "encoder_input_tokens": (1, 16),
+      "encoder_continuous_inputs": (1, 8, 128),
+      "encoder_continuous_mask": (1, 8),
+      "decoder_target_tokens": (1, 8, 128)}
+  params = m.init_variables(jax.random.PRNGKey(0), shapes)["params"]
+  ckpt = checkpoints.save_checkpoint(
+      str(tmp_path), 1, params, config_json=experiment.to_json())
+
+  batch = {
+      "encoder_input_tokens": jnp.asarray(
+          np.random.RandomState(0).randint(1, 200, (2, 16)), jnp.int32),
+      "encoder_continuous_inputs": jnp.zeros((2, 8, 128)),
+      "encoder_continuous_mask": jnp.ones((2, 8), bool),
+      "decoder_target_tokens": jnp.zeros((2, 8, 128)),
+      "decoder_target_mask": jnp.ones((2, 8), bool),
+  }
+  plain = inference.InferenceModel(ckpt)
+  mesh = mesh_lib.make_mesh(data=2, model=2,
+                            devices=jax.devices()[:4])
+  sharded = inference.InferenceModel(ckpt, mesh=mesh)
+  out_plain = plain.predict(batch, seed=3)
+  out_sharded = sharded.predict(batch, seed=3)
+  np.testing.assert_allclose(out_sharded, out_plain, rtol=2e-4,
+                             atol=2e-4)
