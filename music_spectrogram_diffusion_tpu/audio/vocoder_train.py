@@ -114,6 +114,103 @@ class VocoderTrainer:
     return fn, state.params
 
 
+@flax.struct.dataclass
+class AdversarialTrainState:
+  step: Array
+  g_params: flax.core.FrozenDict
+  g_opt_state: optax.OptState
+  d_params: flax.core.FrozenDict
+  d_opt_state: optax.OptState
+
+
+@dataclasses.dataclass
+class AdversarialVocoderTrainer:
+  """SoundStream-style GAN fine-tuning: reconstruction + hinge
+  adversarial + feature-matching losses over the discriminator ensemble
+  (audio/discriminators.py)."""
+  decoder: vocoder_lib.SoundStreamDecoder
+  audio_codec: codecs.AudioCodec
+  g_learning_rate: float = 1e-4
+  d_learning_rate: float = 1e-4
+  waveform_weight: float = 10.0
+  adversarial_weight: float = 1.0
+  feature_matching_weight: float = 10.0
+
+  def __post_init__(self):
+    from music_spectrogram_diffusion_tpu.audio import discriminators
+    self.disc = discriminators.VocoderDiscriminators()
+    self._d_lib = discriminators
+    self.g_optimizer = optax.adamw(self.g_learning_rate, b1=0.5, b2=0.9)
+    self.d_optimizer = optax.adamw(self.d_learning_rate, b1=0.5, b2=0.9)
+    self._step_fn = None
+
+  def create_state(self, rng: jax.Array, mel_frames: int = 64
+                   ) -> AdversarialTrainState:
+    g_rng, d_rng = jax.random.split(rng)
+    mel = jnp.zeros((1, mel_frames, self.audio_codec.n_dims))
+    g_params = self.decoder.init(g_rng, mel)
+    audio = jnp.zeros((1, mel_frames * self.audio_codec.hop_size))
+    d_params = self.disc.init(d_rng, audio)
+    return AdversarialTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params, g_opt_state=self.g_optimizer.init(g_params),
+        d_params=d_params, d_opt_state=self.d_optimizer.init(d_params))
+
+  def train_step(self, state: AdversarialTrainState, mel: Array,
+                 audio: Array) -> Tuple[AdversarialTrainState, Dict]:
+    if self._step_fn is None:
+      d_lib = self._d_lib
+
+      def g_loss_fn(g_params, d_params, mel, audio):
+        pred = self.decoder.apply(g_params, mel)
+        n = min(pred.shape[-1], audio.shape[-1])
+        pred, target = pred[..., :n], audio[..., :n]
+        rec = stft_loss(pred, target)
+        wav_l1 = jnp.mean(jnp.abs(pred - target))
+        fake_out = self.disc.apply(d_params, pred)
+        real_out = self.disc.apply(d_params, target)
+        adv = d_lib.hinge_g_loss(fake_out)
+        fm = d_lib.feature_matching_loss(real_out, fake_out)
+        total = (rec["spectral_convergence"] + rec["log_magnitude"] +
+                 self.waveform_weight * wav_l1 +
+                 self.adversarial_weight * adv +
+                 self.feature_matching_weight * fm)
+        return total, {"g_loss": total, "adv": adv,
+                       "feature_matching": fm, "waveform_l1": wav_l1,
+                       **rec}
+
+      def d_loss_fn(d_params, g_params, mel, audio):
+        pred = self.decoder.apply(g_params, mel)
+        n = min(pred.shape[-1], audio.shape[-1])
+        pred, target = pred[..., :n], audio[..., :n]
+        fake_out = self.disc.apply(d_params, jax.lax.stop_gradient(pred))
+        real_out = self.disc.apply(d_params, target)
+        return d_lib.hinge_d_loss(real_out, fake_out)
+
+      def step(state, mel, audio):
+        (_, g_metrics), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(
+                state.g_params, state.d_params, mel, audio)
+        g_updates, g_opt = self.g_optimizer.update(
+            g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+            state.d_params, g_params, mel, audio)
+        d_updates, d_opt = self.d_optimizer.update(
+            d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = dict(g_metrics)
+        metrics["d_loss"] = d_loss
+        return AdversarialTrainState(
+            step=state.step + 1, g_params=g_params, g_opt_state=g_opt,
+            d_params=d_params, d_opt_state=d_opt), metrics
+
+      self._step_fn = jax.jit(step, donate_argnums=(0,))
+    return self._step_fn(state, mel, audio)
+
+
 def vocoder_batches(audio_source: Iterator[np.ndarray],
                     audio_codec: codecs.AudioCodec,
                     *,

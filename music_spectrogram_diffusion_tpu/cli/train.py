@@ -105,6 +105,7 @@ def main():
   train_loop = loop.TrainLoop(
       trainer=t, experiment=experiment, model_dir=args.model_dir,
       log_period=args.log_period)
+  state = train_loop.maybe_resume(state)
   train_loop.run(iter(ds), state, rng=jax.random.PRNGKey(args.seed + 1))
 
 

@@ -51,3 +51,26 @@ def test_vocoder_training_reduces_loss():
   codec.set_vocoder(apply_fn, params)
   out = codec.decode(jax.numpy.zeros((1, 16, 128)))
   assert out.shape == (1, 16 * 320)
+
+
+def test_adversarial_vocoder_training_step():
+  codec = codecs.MelGan()
+  dec = vocoder.SoundStreamDecoder(
+      config=vocoder.SoundStreamConfig(base_channels=32))
+  trainer = vocoder_train.AdversarialVocoderTrainer(dec, codec)
+  state = trainer.create_state(jax.random.PRNGKey(0), mel_frames=8)
+
+  rng = np.random.RandomState(0)
+  mel = jax.numpy.asarray(rng.uniform(-11, 4, (2, 8, 128)),
+                          jax.numpy.float32)
+  audio = jax.numpy.asarray(rng.randn(2, 8 * 320) * 0.1,
+                            jax.numpy.float32)
+  g0 = jax.tree_util.tree_leaves(state.g_params)[0].copy()
+  for _ in range(2):
+    state, metrics = trainer.train_step(state, mel, audio)
+  assert int(state.step) == 2
+  for k in ["g_loss", "d_loss", "adv", "feature_matching"]:
+    assert np.isfinite(float(metrics[k])), k
+  # Both generator and discriminator actually updated.
+  g1 = jax.tree_util.tree_leaves(state.g_params)[0]
+  assert float(jax.numpy.abs(g1 - g0).max()) > 0
