@@ -27,6 +27,11 @@ def main():
   p.add_argument("--prediction_source", default="model",
                  choices=["model", "gt_encoded"])
   p.add_argument("--seed", type=int, default=0)
+  # Work sharding across independent processes/hosts (the Beam
+  # pipeline's shard parallelism): each process takes every
+  # num_shards-th song.
+  p.add_argument("--num_shards", type=int, default=1)
+  p.add_argument("--shard", type=int, default=0)
   args = p.parse_args()
 
   import dataclasses
@@ -79,7 +84,12 @@ def main():
 
   ds = task.full_song_dataset(lengths)
   songs = evaluation.group_songs(ds)
-  print(f"evaluating {len(songs)} songs")
+  if args.num_shards > 1:
+    keys = sorted(songs)
+    songs = {k: songs[k] for k in keys[args.shard::args.num_shards]}
+  print(f"evaluating {len(songs)} songs"
+        + (f" (shard {args.shard}/{args.num_shards})"
+           if args.num_shards > 1 else ""))
 
   voc = vocoder.GriffinLimVocoder(num_iters=16) if args.vocode else None
   synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)

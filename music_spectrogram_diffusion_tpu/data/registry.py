@@ -1,0 +1,131 @@
+"""Instantiate the reference task matrix over the dataset configs.
+
+Reference tasks.py registers synthesis / synthesis_with_context tasks for
+every dataset x vocab config at import time (tasks.py:509-649) plus the
+'mega' mixture. This module does the same lazily: call
+`register_all_tasks(data_root=...)` with a directory holding the
+TFRecord shards (paths in data/datasets.py are gs:// URLs; pass a local
+mirror root that preserves the path suffixes).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, Optional, Sequence
+
+from music_spectrogram_diffusion_tpu.audio import codecs
+from music_spectrogram_diffusion_tpu.data import core
+from music_spectrogram_diffusion_tpu.data import datasets
+from music_spectrogram_diffusion_tpu.data import tasks
+from music_spectrogram_diffusion_tpu.data import tokenizers
+from music_spectrogram_diffusion_tpu.midi import vocabularies
+
+# Vocab configs used by the reference registrations (tasks.py:492-493).
+VOCAB_CONFIG_FULL = vocabularies.VocabularyConfig()
+VOCAB_CONFIG_NOVELOCITY = vocabularies.VocabularyConfig(
+    num_velocity_bins=1)
+
+
+def _localize(path: str, data_root: Optional[str]) -> str:
+  """Map a gs:// path to a local mirror under data_root."""
+  if data_root is None:
+    return path
+  if path.startswith("gs://"):
+    return os.path.join(data_root, path[len("gs://"):])
+  return path
+
+
+def dataset_source(config: datasets.DatasetConfig, split: str,
+                   codec: codecs.AudioCodec,
+                   event_codec_obj,
+                   note_rep: tasks.NoteRepresentationConfig,
+                   data_root: Optional[str] = None,
+                   is_training: bool = True) -> core.Dataset:
+  """Raw TFRecords -> tokenized {'sequence','audio',...} examples."""
+  tokenize = tokenizers.TOKENIZERS[config.name]
+  kwargs = dict(audio_codec=codec, codec=event_codec_obj,
+                is_training_data=is_training,
+                onsets_only=note_rep.onsets_only,
+                include_ties=note_rep.include_ties)
+  if config.name in ("cerberus4",) and config.track_specs:
+    kwargs["track_specs"] = config.track_specs
+  pattern = _localize(config.paths[split], data_root)
+  raw = datasets.tfrecord_source(pattern, config.features)
+  return raw.flat_map(lambda ex: tokenize(ex, **kwargs))
+
+
+def make_dataset_task(config: datasets.DatasetConfig,
+                      split: str,
+                      *,
+                      vocab_config: vocabularies.VocabularyConfig,
+                      with_context: bool = True,
+                      note_rep: Optional[
+                          tasks.NoteRepresentationConfig] = None,
+                      program_granularity: str = "full",
+                      data_root: Optional[str] = None,
+                      audio_codec: Optional[codecs.AudioCodec] = None
+                      ) -> tasks.Task:
+  """One reference-style task for (dataset, split)."""
+  note_rep = note_rep or tasks.NoteRepresentationConfig()
+  audio_codec = audio_codec or codecs.MelGan()
+  event_codec_obj = vocabularies.build_codec(vocab_config)
+  prefix = "synthesis_with_context" if with_context else "synthesis"
+  name = tasks.construct_task_name(
+      prefix, config.name, audio_codec, vocab_config, note_rep,
+      task_suffix=split)
+
+  # The Task re-tokenizes from raw records each epoch; real runs should
+  # cache task.tokenized() to TFRecords (datasets.write_tfrecord) first.
+  task = tasks.Task(
+      name=name,
+      source_fn=functools.partial(
+          _raw_source, config, split, audio_codec, event_codec_obj,
+          note_rep, data_root),
+      audio_codec=audio_codec,
+      vocab_config=vocab_config,
+      note_rep=note_rep,
+      with_context=with_context,
+      program_granularity=program_granularity,
+      source_is_tokenized=True)
+  return task
+
+
+def _raw_source(config, split, audio_codec, event_codec_obj, note_rep,
+                data_root):
+  # tasks.Task tokenizes via preprocessors.tokenize_example; dataset
+  # tokenizers already produce the tokenized schema, so wrap the stream
+  # as pre-tokenized examples. Task.tokenized() starts from
+  # {'sequence','audio'} for the generic path, so for dataset-specific
+  # tokenizers we return tokenized examples directly and Task handles it.
+  return dataset_source(config, split, audio_codec, event_codec_obj,
+                        note_rep, data_root)
+
+
+def register_all_tasks(data_root: Optional[str] = None,
+                       with_context: bool = True,
+                       vocab_overrides: Optional[Dict[str, object]] = None
+                       ) -> Sequence[str]:
+  """Register train tasks for every mixture dataset + the mega mixture.
+
+  Piano (maestro) uses the full-velocity vocab like the reference's
+  ismir2021 piano tasks; the mega mixture uses num_velocity_bins=1
+  (reference gin/tasks/mt3/base.gin).
+  """
+  names = []
+  for config in datasets.SYNTH_MIXTURE_DATASET_CONFIGS:
+    task = make_dataset_task(
+        config, config.train_split,
+        vocab_config=VOCAB_CONFIG_NOVELOCITY,
+        with_context=with_context, data_root=data_root)
+    tasks.register_task(task)
+    names.append(task.name)
+  mixture = tasks.Mixture(
+      name=("synthesis_with_context_mega" if with_context
+            else "synthesis_mega"),
+      task_names=list(names),
+      # Reference uses temperature-10/3 example-proportional rates
+      # (tasks.py:594-649); without dataset stats available use uniform.
+      rates=None)
+  tasks.register_mixture(mixture)
+  return names + [mixture.name]

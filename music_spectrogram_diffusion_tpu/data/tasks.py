@@ -64,6 +64,9 @@ class Task:
   program_granularity: str = "full"
   onsets_only: bool = False
   skip_too_long: bool = False
+  # True when source_fn already yields the tokenized schema (inputs/
+  # targets/indices), e.g. dataset-specific tokenizers in data/registry.
+  source_is_tokenized: bool = False
 
   def __post_init__(self):
     self.codec = vocabularies.build_codec(self.vocab_config)
@@ -81,8 +84,10 @@ class Task:
           include_ties=self.note_rep.include_ties,
           example_id=ex.get("id"))
 
-    ds = self.source_fn().map(tokenize).map(
-        preprocessors.rekey_transcription_to_synthesis)
+    ds = self.source_fn()
+    if not self.source_is_tokenized:
+      ds = ds.map(tokenize)
+    ds = ds.map(preprocessors.rekey_transcription_to_synthesis)
     if split_sequences:
       ds = ds.flat_map(
           lambda ex: self._split_cached(ex))
