@@ -32,6 +32,10 @@ def main():
                       "f32 either way)")
   p.add_argument("--fused_attention", action="store_true",
                  help="use the Pallas fused attention kernel")
+  p.add_argument("--typical", action="store_true",
+                 help="measure a realistic full-song render (real token "
+                      "lengths + input bucketing + segment chaining) "
+                      "instead of the worst-case single segment")
   args = p.parse_args()
 
   size = args.size or ("small" if args.quick else "base")
@@ -45,6 +49,10 @@ def main():
   from music_spectrogram_diffusion_tpu.models.diffusion import (
       model as model_lib, network)
   from music_spectrogram_diffusion_tpu.ops import diffusion as dops
+
+  if args.typical:
+    _typical_song_bench(size, num_steps, args)
+    return
 
   net_cfg = cfg_lib.network_config(
       size, with_context=True, dropout_rate=0.0, dtype=args.dtype,
@@ -114,6 +122,70 @@ def main():
         f"init={init_s:.1f}s compile={compile_s:.1f}s "
         f"platform={jax.devices()[0].platform}", file=sys.stderr)
   assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _typical_song_bench(size, num_steps, args):
+  """Full-song chained render on a realistic synthetic MIDI."""
+  import jax
+  import numpy as np
+
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.cli import synthesize_midi
+  from music_spectrogram_diffusion_tpu.data import synthetic
+  from music_spectrogram_diffusion_tpu.data import tasks as task_lib
+  from music_spectrogram_diffusion_tpu.infer import synthesize
+  from music_spectrogram_diffusion_tpu.midi import vocabularies
+  from music_spectrogram_diffusion_tpu.models.diffusion import (
+      model as model_lib, network)
+  from music_spectrogram_diffusion_tpu.ops import diffusion as dops
+
+  net_cfg = cfg_lib.network_config(
+      size, with_context=True, dropout_rate=0.0, dtype=args.dtype,
+      use_fused_attention=args.fused_attention)
+  module = network.ContextTransformer(config=net_cfg)
+  dcfg = dops.DiffusionConfig(
+      sampler=dops.SamplerConfig(num_steps=num_steps))
+  codec = codecs.MelGan()
+  model = model_lib.ContextDiffusionModel(module, dcfg, codec)
+  lengths = {"inputs": 2048, "targets": 256, "targets_context": 256}
+
+  batch_shapes = {
+      "encoder_input_tokens": (1, lengths["inputs"]),
+      "encoder_continuous_inputs": (1, 256, codec.n_dims),
+      "encoder_continuous_mask": (1, 256),
+      "decoder_target_tokens": (1, 256, codec.n_dims)}
+  import jax.numpy as jnp
+  types = {"encoder_input_tokens": jnp.int32,
+           "encoder_continuous_mask": jnp.bool_}
+  params = jax.jit(lambda k: model.init_variables(
+      k, batch_shapes, types))(jax.random.PRNGKey(0))["params"]
+
+  ns = synthetic.random_note_sequence(
+      np.random.RandomState(0), duration=30.0, notes_per_second=8.0)
+  task = task_lib.Task(
+      name="bench", source_fn=lambda: None, audio_codec=codec,
+      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+      note_rep=task_lib.NoteRepresentationConfig(include_ties=True))
+  segments = synthesize_midi.segment_midi(ns, task, lengths)
+
+  synth = synthesize.Synthesizer(model, params, lengths)
+  # Warm-up compiles all segment shapes, second run is steady state.
+  synth.render_song(segments, rng=jax.random.PRNGKey(0), vocode=False)
+  out = synth.render_song([s for s in segments] * args.repeats,
+                          rng=jax.random.PRNGKey(1), vocode=False)
+  rtf = (out.timings["audio_seconds"] /
+         out.timings["prediction_seconds"])
+  print(json.dumps({
+      "metric": "typical_song_realtime_factor",
+      "value": round(rtf, 3),
+      "unit": "audio_seconds_per_second",
+      "vs_baseline": round(rtf, 3),
+  }))
+  print(f"# typical song: {len(segments)} segs x{args.repeats}, "
+        f"max tokens "
+        f"{max(len(s) for s in segments)}, steps={num_steps}",
+        file=sys.stderr)
 
 
 if __name__ == "__main__":

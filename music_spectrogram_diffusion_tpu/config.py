@@ -75,8 +75,8 @@ def network_config(size: str = "base",
                    vocab_size: Optional[int] = None,
                    dtype: str = "float32",
                    dropout_rate: float = 0.1,
-                   use_fused_attention: bool = False
-                   ) -> network.NetworkConfig:
+                   use_fused_attention: bool = False,
+                   remat: bool = False) -> network.NetworkConfig:
   """Build the transformer config for a given model size."""
   if size not in _SIZES:
     raise ValueError(f"Unknown size {size!r}; have {sorted(_SIZES)}")
@@ -97,6 +97,7 @@ def network_config(size: str = "base",
       position_encoding="fixed_permuted_offset",
       context_positions=("terminal_relative" if with_context else "regular"),
       use_fused_attention=use_fused_attention,
+      remat=remat,
       **_SIZES[size])
 
 

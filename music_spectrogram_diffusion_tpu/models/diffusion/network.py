@@ -59,13 +59,20 @@ class NetworkConfig:
   position_encoding: str = "fixed"
   # 'regular' | 'terminal_relative'
   context_positions: str = "regular"
-  # Decoder geometry (static so the position table and output projection
-  # can be built in setup(); segments are fixed-size by construction).
+  # Static geometry: position tables are sized by these maxima and
+  # indexed by the (possibly shorter, bucketed) runtime lengths, so
+  # parameter shapes are stable across input buckets and match the
+  # published checkpoints (task lengths 2048/256/256).
+  max_input_length: int = 2048
+  max_context_length: int = 256
   max_target_length: int = 256
   output_dim: int = 128
   # Route attention through the Pallas fused kernel (inference-time;
   # ignored wherever dropout is active).
   use_fused_attention: bool = False
+  # Rematerialize encoder/decoder layers on the backward pass (trade
+  # FLOPs for activation memory; enables bigger per-chip train batches).
+  remat: bool = False
 
 
 def sequence_length_from_mask(mask: Array) -> Array:
@@ -250,20 +257,24 @@ class TokenEncoder(nn.Module):
     cfg = self.config
     assert token_ids.ndim == 2  # [batch, length]
     seq_length = token_ids.shape[1]
+    assert seq_length <= cfg.max_input_length, (
+        f"{seq_length} > max_input_length {cfg.max_input_length}")
     positions = jnp.arange(seq_length)[None, :]
 
     x = layers.Embed(
         num_embeddings=cfg.vocab_size, features=cfg.emb_dim,
         dtype=cfg.dtype, embedding_init=nn.initializers.normal(stddev=1.0),
         one_hot=True, name="token_embedder")(token_ids.astype("int32"))
-    x += position_encoder(cfg, seq_length)(positions)
+    x += position_encoder(cfg, cfg.max_input_length)(positions)
     x = nn.Dropout(rate=cfg.dropout_rate, broadcast_dims=(-2,))(
         x, deterministic=deterministic)
     x = x.astype(cfg.dtype)
 
+    layer_cls = (nn.remat(EncoderLayer, static_argnums=(3,))
+                 if cfg.remat else EncoderLayer)
     for lyr in range(cfg.num_encoder_layers):
-      x = EncoderLayer(config=cfg, name=f"layers_{lyr}")(
-          x, mask, deterministic=deterministic)
+      x = layer_cls(config=cfg, name=f"layers_{lyr}")(
+          x, mask, deterministic)
     x = layers.RMSNorm(dtype=cfg.dtype, name="encoder_norm")(x)
     x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
     return x, mask
@@ -284,6 +295,8 @@ class ContinuousEncoder(nn.Module):
     cfg = self.config
     assert continuous_inputs.ndim == 3  # [batch, length, n_dims]
     max_positions = continuous_inputs.shape[1]
+    assert max_positions <= cfg.max_context_length, (
+        f"{max_positions} > max_context_length {cfg.max_context_length}")
 
     x = layers.DenseGeneral(
         features=cfg.emb_dim, dtype=cfg.dtype,
@@ -299,14 +312,16 @@ class ContinuousEncoder(nn.Module):
     else:
       raise ValueError(f"Unknown context_positions: {cfg.context_positions}")
 
-    x += position_encoder(cfg, max_positions)(positions)
+    x += position_encoder(cfg, cfg.max_context_length)(positions)
     x = nn.Dropout(rate=cfg.dropout_rate, broadcast_dims=(-2,))(
         x, deterministic=deterministic)
     x = x.astype(cfg.dtype)
 
+    layer_cls = (nn.remat(EncoderLayer, static_argnums=(3,))
+                 if cfg.remat else EncoderLayer)
     for lyr in range(cfg.num_encoder_layers):
-      x = EncoderLayer(config=cfg, name=f"layers_{lyr}")(
-          x, mask, deterministic=deterministic)
+      x = layer_cls(config=cfg, name=f"layers_{lyr}")(
+          x, mask, deterministic)
     x = layers.RMSNorm(dtype=cfg.dtype, name="encoder_norm")(x)
     x = nn.Dropout(rate=cfg.dropout_rate)(x, deterministic=deterministic)
     return x, mask
@@ -329,8 +344,11 @@ class Decoder(nn.Module):
         kernel_init=nn.linear.default_kernel_init,
         kernel_axes=("vocab", "embed"),
         name="continuous_inputs_projection")
+    decoder_layer_cls = (
+        nn.remat(DecoderLayer, static_argnums=(4,)) if cfg.remat
+        else DecoderLayer)
     self.decoder_layers = [
-        DecoderLayer(config=cfg, name=f"layers_{i}")
+        decoder_layer_cls(config=cfg, name=f"layers_{i}")
         for i in range(cfg.num_decoder_layers)]
     self.decoder_norm = layers.RMSNorm(dtype=cfg.dtype, name="decoder_norm")
     self.dropout = nn.Dropout(rate=cfg.dropout_rate, broadcast_dims=(-2,))
@@ -396,8 +414,8 @@ class Decoder(nn.Module):
     y = inputs.astype(cfg.dtype)
 
     for i, lyr in enumerate(self.decoder_layers):
-      y = lyr(y, encdec, conditioning, deterministic=deterministic,
-              cross_kv=cross_kv[i] if cross_kv is not None else None)
+      y = lyr(y, encdec, conditioning, deterministic,
+              cross_kv[i] if cross_kv is not None else None)
 
     y = self.decoder_norm(y)
     y = self.dropout(y, deterministic=deterministic)

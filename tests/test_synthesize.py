@@ -114,3 +114,70 @@ def test_griffin_lim_reduces_error():
   rel_err = (np.linalg.norm(np.asarray(mag_rec - mag)) /
              np.linalg.norm(np.asarray(mag)))
   assert rel_err < 0.35, rel_err
+
+
+def test_input_bucketing_identical_output():
+  """Bucketed (short) encoder padding must give identical predictions."""
+  synth = make_synth()
+  segs = [np.arange(1, 12, dtype=np.int32)]
+  full = synthesize.Synthesizer(
+      synth.model, synth.params, LENGTHS, bucket_inputs=False)
+  out_bucketed = synth.render_song(segs, rng=jax.random.PRNGKey(2),
+                                   vocode=False)
+  out_full = full.render_song(segs, rng=jax.random.PRNGKey(2),
+                              vocode=False)
+  np.testing.assert_allclose(out_bucketed.mel, out_full.mel,
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_input_bucket_selection():
+  synth = make_synth()
+  assert synth._input_length(10) == 32  # capped at task inputs length
+  big = synthesize.Synthesizer(
+      synth.model, synth.params,
+      {"inputs": 2048, "targets": 16, "targets_context": 16})
+  assert big._input_length(100) == 256
+  assert big._input_length(600) == 1024
+  assert big._input_length(2048) == 2048
+
+
+def test_render_notes_only_model():
+  """Notes-only diffusion model renders segments without context."""
+  from music_spectrogram_diffusion_tpu.models.diffusion import (
+      model as dmodel)
+  net_cfg = cfg_lib.network_config("tiny", with_context=False,
+                                   vocab_size=256, dropout_rate=0.0)
+  module = network.Transformer(config=net_cfg)
+  m = dmodel.DiffusionModel(
+      module, dops.DiffusionConfig(sampler=dops.SamplerConfig(num_steps=2)),
+      codecs.MelGan())
+  shapes = {"encoder_input_tokens": (1, LENGTHS["inputs"]),
+            "decoder_target_tokens": (1, LENGTHS["targets"], 128)}
+  params = m.init_variables(jax.random.PRNGKey(0), shapes)["params"]
+  synth = synthesize.Synthesizer(
+      m, params, {"inputs": LENGTHS["inputs"],
+                  "targets": LENGTHS["targets"]})
+  out = synth.render_song([np.arange(1, 9, dtype=np.int32)] * 2,
+                          rng=jax.random.PRNGKey(0), vocode=False)
+  assert out.mel.shape == (2 * LENGTHS["targets"], 128)
+  assert np.all(np.isfinite(out.mel))
+
+
+def test_render_autoregressive_model():
+  """AR baseline renders segments through the same interface."""
+  from music_spectrogram_diffusion_tpu import config as cfg
+  from music_spectrogram_diffusion_tpu.infer import inference
+  import dataclasses
+  exp = cfg.preset("ar_tiny")
+  exp = dataclasses.replace(exp, vocab_size=256, dropout_rate=0.0)
+  m = inference.build_model(exp)
+  shapes = {"encoder_input_tokens": (1, LENGTHS["inputs"]),
+            "decoder_target_tokens": (1, LENGTHS["targets"], 128)}
+  params = m.init_variables(jax.random.PRNGKey(0), shapes)["params"]
+  synth = synthesize.Synthesizer(
+      m, params, {"inputs": LENGTHS["inputs"],
+                  "targets": LENGTHS["targets"]})
+  out = synth.render_song([np.arange(1, 9, dtype=np.int32)],
+                          rng=jax.random.PRNGKey(0), vocode=False)
+  assert out.mel.shape == (LENGTHS["targets"], 128)
+  assert np.all(np.isfinite(out.mel))
