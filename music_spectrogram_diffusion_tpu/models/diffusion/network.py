@@ -205,7 +205,8 @@ class DecoderLayer(nn.Module):
                encodings_and_encdec_masks: EncodingsAndMasks,
                conditioning: Optional[Array],
                deterministic: bool = False,
-               cross_kv: Optional[CrossKVCache] = None) -> Array:
+               cross_kv: Optional[CrossKVCache] = None,
+               cond_rows: Optional[int] = None) -> Array:
     cfg = self.config
 
     x = self.pre_self_attention_norm(inputs)
@@ -217,27 +218,48 @@ class DecoderLayer(nn.Module):
     x = x + inputs
 
     y = self.pre_cross_attention_norm(x)
+    # Classifier-free guidance fast path: rows >= cond_rows are the
+    # unconditional half, whose cross-attention output is exactly zero
+    # (all keys masked + zero_if_all_masked). Compute cross-attention
+    # on the conditional rows only and concatenate zeros — identical
+    # math at ~half the cross-attention cost and KV reads.
+    if cond_rows is not None and cond_rows < y.shape[0]:
+      y_q = y[:cond_rows]
+      zeros_tail_rows = y.shape[0] - cond_rows
+    else:
+      y_q = y
+      zeros_tail_rows = 0
+
+    def pad_uncond(attn_out):
+      if zeros_tail_rows == 0:
+        return attn_out
+      return jnp.concatenate(
+          [attn_out,
+           jnp.zeros((zeros_tail_rows,) + attn_out.shape[1:],
+                     attn_out.dtype)], axis=0)
+
     if cfg.cross_attend_style == "concat_encodings":
       encoded = jnp.concatenate(
           [e for e, _ in encodings_and_encdec_masks], axis=1)
       mask = jnp.concatenate(
           [m for _, m in encodings_and_encdec_masks], axis=-1)
-      y = self.cross_attentions[0](
-          y, encoded, mask, deterministic=deterministic,
+      y_n = self.cross_attentions[0](
+          y_q, encoded, mask, deterministic=deterministic,
           cached_kv=cross_kv[0] if cross_kv is not None else None)
-      y = layers.zero_if_all_masked(y, mask)
+      y_n = layers.zero_if_all_masked(y_n, mask)
+      y = pad_uncond(y_n)
       y = self.dropout(y, deterministic=deterministic)
       y = y + x
     else:  # sum_cross_attends
       ys = []
       for i, (encoded, mask) in enumerate(encodings_and_encdec_masks):
         y_n = self.cross_attentions[i](
-            y, encoded, mask, deterministic=deterministic,
+            y_q, encoded, mask, deterministic=deterministic,
             cached_kv=cross_kv[i] if cross_kv is not None else None)
         y_n = layers.zero_if_all_masked(y_n, mask)
         y_n = self.dropout(y_n, deterministic=deterministic)
         ys.append(y_n)
-      y = sum(ys) + x
+      y = pad_uncond(sum(ys)) + x
 
     z = self.pre_mlp_norm(y)
     if conditioning is not None:
@@ -345,7 +367,7 @@ class Decoder(nn.Module):
         kernel_axes=("vocab", "embed"),
         name="continuous_inputs_projection")
     decoder_layer_cls = (
-        nn.remat(DecoderLayer, static_argnums=(4,)) if cfg.remat
+        nn.remat(DecoderLayer, static_argnums=(4, 6)) if cfg.remat
         else DecoderLayer)
     self.decoder_layers = [
         decoder_layer_cls(config=cfg, name=f"layers_{i}")
@@ -390,7 +412,8 @@ class Decoder(nn.Module):
                decoder_input_tokens: Array,
                decoder_noise_time: Array,
                deterministic: bool = False,
-               cross_kv: Optional[List[CrossKVCache]] = None) -> Array:
+               cross_kv: Optional[List[CrossKVCache]] = None,
+               cond_rows: Optional[int] = None) -> Array:
     cfg = self.config
     batch, seq_length, n_out = decoder_input_tokens.shape
     assert decoder_noise_time.shape == (batch,)
@@ -415,7 +438,7 @@ class Decoder(nn.Module):
 
     for i, lyr in enumerate(self.decoder_layers):
       y = lyr(y, encdec, conditioning, deterministic,
-              cross_kv[i] if cross_kv is not None else None)
+              cross_kv[i] if cross_kv is not None else None, cond_rows)
 
     y = self.decoder_norm(y)
     y = self.dropout(y, deterministic=deterministic)
@@ -446,13 +469,15 @@ class Transformer(nn.Module):
   def decode(self, encodings_and_masks: EncodingsAndMasks,
              decoder_input_tokens: Array, decoder_noise_time: Array,
              enable_dropout: bool = True,
-             cross_kv: Optional[List[CrossKVCache]] = None) -> Array:
+             cross_kv: Optional[List[CrossKVCache]] = None,
+             cond_rows: Optional[int] = None) -> Array:
     out = self.decoder(
         encodings_and_masks=encodings_and_masks,
         decoder_input_tokens=decoder_input_tokens,
         decoder_noise_time=decoder_noise_time,
         deterministic=not enable_dropout,
-        cross_kv=cross_kv)
+        cross_kv=cross_kv,
+        cond_rows=cond_rows)
     return out.astype(self.config.dtype)
 
   def __call__(self, encoder_input_tokens: Array,
@@ -497,13 +522,15 @@ class ContextTransformer(nn.Module):
   def decode(self, encodings_and_masks: EncodingsAndMasks,
              input_tokens: Array, noise_time: Array,
              enable_dropout: bool = True,
-             cross_kv: Optional[List[CrossKVCache]] = None) -> Array:
+             cross_kv: Optional[List[CrossKVCache]] = None,
+             cond_rows: Optional[int] = None) -> Array:
     out = self.decoder(
         encodings_and_masks=encodings_and_masks,
         decoder_input_tokens=input_tokens,
         decoder_noise_time=noise_time,
         deterministic=not enable_dropout,
-        cross_kv=cross_kv)
+        cross_kv=cross_kv,
+        cond_rows=cond_rows)
     return out.astype(self.config.dtype)
 
   def __call__(self, encoder_input_tokens: Array,
