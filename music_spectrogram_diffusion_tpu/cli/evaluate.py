@@ -25,7 +25,9 @@ def main():
   p.add_argument("--vocode", action="store_true")
   p.add_argument("--output_dir", default=None)
   p.add_argument("--prediction_source", default="model",
-                 choices=["model", "gt_encoded"])
+                 choices=["model", "gt_encoded", "gt_raw"])
+  p.add_argument("--always_mask_context", action="store_true",
+                 help="render every segment without context (ablation)")
   p.add_argument("--seed", type=int, default=0)
   # Work sharding across independent processes/hosts (the Beam
   # pipeline's shard parallelism): each process takes every
@@ -97,7 +99,8 @@ def main():
       synth, songs, songs_per_batch=args.songs_per_batch,
       rng=jax.random.PRNGKey(args.seed), vocode=args.vocode,
       keep_arrays=args.output_dir is not None,
-      prediction_source=args.prediction_source)
+      prediction_source=args.prediction_source,
+      always_mask_context=args.always_mask_context)
 
   agg = evaluation.aggregate(results)
   print(json.dumps(agg, indent=2))

@@ -64,7 +64,8 @@ def make_dataset_task(config: datasets.DatasetConfig,
                           tasks.NoteRepresentationConfig] = None,
                       program_granularity: str = "full",
                       data_root: Optional[str] = None,
-                      audio_codec: Optional[codecs.AudioCodec] = None
+                      audio_codec: Optional[codecs.AudioCodec] = None,
+                      name_suffix: Optional[str] = None
                       ) -> tasks.Task:
   """One reference-style task for (dataset, split)."""
   note_rep = note_rep or tasks.NoteRepresentationConfig()
@@ -73,7 +74,7 @@ def make_dataset_task(config: datasets.DatasetConfig,
   prefix = "synthesis_with_context" if with_context else "synthesis"
   name = tasks.construct_task_name(
       prefix, config.name, audio_codec, vocab_config, note_rep,
-      task_suffix=split)
+      task_suffix=name_suffix or split)
 
   # The Task re-tokenizes from raw records each epoch; real runs should
   # cache task.tokenized() to TFRecords (datasets.write_tfrecord) first.
@@ -104,15 +105,18 @@ def _raw_source(config, split, audio_codec, event_codec_obj, note_rep,
 
 def register_all_tasks(data_root: Optional[str] = None,
                        with_context: bool = True,
-                       vocab_overrides: Optional[Dict[str, object]] = None
+                       include_eval_splits: bool = True
                        ) -> Sequence[str]:
-  """Register train tasks for every mixture dataset + the mega mixture.
+  """Register train tasks for every mixture dataset + eval-split tasks
+  + the mega mixture.
 
-  Piano (maestro) uses the full-velocity vocab like the reference's
-  ismir2021 piano tasks; the mega mixture uses num_velocity_bins=1
-  (reference gin/tasks/mt3/base.gin).
+  The mega mixture uses num_velocity_bins=1 (reference
+  gin/tasks/mt3/base.gin); eval tasks are registered per InferEvalSplit
+  like reference tasks.py:211-253 ('_full' variants come from using
+  Task.full_song_dataset on the same task).
   """
   names = []
+  train_names = []
   for config in datasets.SYNTH_MIXTURE_DATASET_CONFIGS:
     task = make_dataset_task(
         config, config.train_split,
@@ -120,10 +124,20 @@ def register_all_tasks(data_root: Optional[str] = None,
         with_context=with_context, data_root=data_root)
     tasks.register_task(task)
     names.append(task.name)
+    train_names.append(task.name)
+    if include_eval_splits:
+      for split in config.infer_eval_splits:
+        eval_task = make_dataset_task(
+            config, split.name,
+            vocab_config=VOCAB_CONFIG_NOVELOCITY,
+            with_context=with_context, data_root=data_root,
+            name_suffix=split.suffix)
+        tasks.register_task(eval_task)
+        names.append(eval_task.name)
   mixture = tasks.Mixture(
       name=("synthesis_with_context_mega" if with_context
             else "synthesis_mega"),
-      task_names=list(names),
+      task_names=list(train_names),
       # Reference uses temperature-10/3 example-proportional rates
       # (tasks.py:594-649); without dataset stats available use uniform.
       rates=None)

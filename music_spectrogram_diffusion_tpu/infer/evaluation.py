@@ -61,12 +61,14 @@ def evaluate_songs(
     embedding_fn: Optional[Callable] = None,
     keep_arrays: bool = False,
     prediction_source: str = "model",
+    always_mask_context: bool = False,
 ) -> List[SongEval]:
   """Render + score a set of songs.
 
-  prediction_source: 'model' renders with the model; 'gt_encoded' scores
-  the ground-truth mel against itself (metric ceiling, reference
-  beam/evaluation.py:70-72).
+  prediction_source: 'model' renders with the model; 'gt_encoded' /
+  'gt_raw' score the ground-truth mel against itself (metric ceilings,
+  reference beam/evaluation.py:70-72). always_mask_context renders every
+  segment without context (reference ablation flag).
   """
   import jax
   if rng is None:
@@ -81,8 +83,10 @@ def evaluate_songs(
                    for _, segs in chunk]
 
     if prediction_source == "model":
-      renders = synth.render_songs(token_lists, rng=rng, vocode=vocode)
-    elif prediction_source == "gt_encoded":
+      renders = synth.render_songs(
+          token_lists, rng=rng, vocode=vocode,
+          always_mask_context=always_mask_context)
+    elif prediction_source in ("gt_encoded", "gt_raw"):
       renders = []
       for _, segs in chunk:
         mel = np.concatenate([np.asarray(s["targets"]) for s in segs])

@@ -112,7 +112,8 @@ class Synthesizer:
   def render_songs(self,
                    songs: Sequence[Sequence[np.ndarray]],
                    rng: Optional[jax.Array] = None,
-                   vocode: bool = True) -> List[SongRender]:
+                   vocode: bool = True,
+                   always_mask_context: bool = False) -> List[SongRender]:
     """Render a batch of songs, chaining context across segments.
 
     Args:
@@ -156,9 +157,12 @@ class Synthesizer:
       _device_sync(pred)
       seg_times.append(time.time() - t0)
       mel_segments.append(pred)
-      # Next segment's context is this prediction (full-length mask).
+      # Next segment's context is this prediction (full-length mask);
+      # always_mask_context reproduces the reference's ablation
+      # (beam/evaluation.py:66-68) that renders every segment blind.
       context = pred[:, -l_ctx:, :]
-      context_mask = jnp.ones((n_songs, l_ctx), bool)
+      context_mask = jnp.full((n_songs, l_ctx),
+                              not always_mask_context, bool)
 
     mel = jnp.concatenate(mel_segments, axis=1)  # [songs, frames, dims]
 

@@ -51,7 +51,12 @@ def test_register_all_tasks_names():
   assert any("maestrov3" in n for n in names)
   assert any("slakh" in n for n in names)
   assert any(n.endswith("_mega") for n in names)
-  assert len([n for n in names if not n.endswith("_mega")]) == 6
+  # 6 train tasks + one eval task per InferEvalSplit of each dataset.
+  train_names = [n for n in names
+                 if n.endswith("_train") and not n.endswith("_eval_train")]
+  assert len(train_names) == 6
+  assert any(n.endswith("_validation") for n in names)
+  assert any(n.endswith("_validation_full") for n in names)
   for n in names:
     if n.endswith("_mega"):
       assert n in tasks.MIXTURE_REGISTRY
