@@ -86,8 +86,8 @@ class Synthesizer:
     """Context chaining only applies to the dual-encoder family; the
     notes-only diffusion and AR baselines render segments independently
     (reference beam/evaluation.py feeds context only when present)."""
-    return "targets_context" in self.lengths and hasattr(
-        self.model, "_encode") and "Context" in type(self.model).__name__
+    return ("targets_context" in self.lengths and
+            getattr(self.model, "USES_CONTEXT", False))
 
   def _segment_batch(self, tokens: Array, context: Array,
                      context_mask: Array) -> Dict[str, Array]:

@@ -24,6 +24,8 @@ PyTree = Any
 class AutoregressiveModel:
   """Continuous-output encoder-decoder with an output head."""
 
+  USES_CONTEXT = False
+
   def __init__(self, module: network.ARTransformer,
                output_function: output_functions.OutputFunction,
                audio_codec: codecs.AudioCodec):

@@ -37,6 +37,9 @@ PyTree = Any
 class DiffusionModelBase:
   """Shared training/prediction logic for both diffusion model variants."""
 
+  # Whether predict() consumes previous-segment context features.
+  USES_CONTEXT = False
+
   def __init__(self,
                module: Any,
                diffusion_config: dops.DiffusionConfig,
@@ -227,6 +230,8 @@ class DiffusionModel(DiffusionModelBase):
 class ContextDiffusionModel(DiffusionModelBase):
   """Dual-encoder model with previous-segment context
   (reference ContextDiffusionModel, models.py:208)."""
+
+  USES_CONTEXT = True
 
   def init_variables(self, rng: jax.Array,
                      input_shapes: Mapping[str, Tuple[int, ...]],
