@@ -20,7 +20,7 @@ def main():
                  help="used when no checkpoint is given (random weights)")
   p.add_argument("--synthetic", action="store_true")
   p.add_argument("--songs", type=int, default=2)
-  p.add_argument("--songs_per_batch", type=int, default=4)
+  p.add_argument("--songs_per_batch", type=int, default=2)
   p.add_argument("--steps", type=int, default=None)
   p.add_argument("--vocode", action="store_true")
   p.add_argument("--output_dir", default=None)
