@@ -3,8 +3,9 @@ pipeline).
 
   python -m music_spectrogram_diffusion_tpu.cli.evaluate \
       --checkpoint /path/ckpt --synthetic --output_dir /tmp/eval \
-      [--steps 50] [--songs 4] [--vocode] \
-      [--prediction_source model|gt_encoded]
+      [--steps 50] [--songs 4] [--vocode] [--always_mask_context] \
+      [--prediction_source model|gt_encoded|gt_raw] \
+      [--num_shards N --shard I]
 """
 
 from __future__ import annotations
