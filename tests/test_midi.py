@@ -337,3 +337,43 @@ def test_assign_instruments():
            program=program, is_drum=is_drum)
   sequences.assign_instruments(ns)
   assert [n.instrument for n in ns.notes] == [0, 1, 9]
+
+
+def test_decode_events_max_time_drops():
+  """Events past max_time are dropped and counted (reference
+  run_length_encoding.py:309-314)."""
+  codec = vocabularies.build_codec(
+      vocabularies.VocabularyConfig(num_velocity_bins=127))
+  spec = sequences.NoteEncodingSpec
+  # shift(50) pitch-on, shift(200) pitch-on beyond max_time=1.0s
+  vel_on = codec.encode_event(Event("velocity", 100))
+  p60 = codec.encode_event(Event("pitch", 60))
+  p62 = codec.encode_event(Event("pitch", 62))
+  tokens = np.asarray([50, vel_on, p60, 200, vel_on, p62])
+  state = spec.init_decoding_state_fn()
+  invalid, dropped = run_length.decode_events(
+      state, tokens, start_time=0.0, max_time=1.0, codec=codec,
+      decode_event_fn=spec.decode_event_fn)
+  assert invalid == 0
+  assert dropped == 3  # the shift(200) and everything after
+  ns = spec.flush_decoding_state_fn(state)
+  assert [n.pitch for n in ns.notes] == [60]
+
+
+def test_decode_events_invalid_tokens():
+  codec = vocabularies.build_codec(
+      vocabularies.VocabularyConfig(num_velocity_bins=127))
+  spec = sequences.NoteEncodingSpec
+  vel_on = codec.encode_event(Event("velocity", 100))
+  p60 = codec.encode_event(Event("pitch", 60))
+  bad = codec.num_classes + 5  # out of vocabulary
+  # note-off for inactive pitch is also invalid (ValueError path).
+  vel_off = codec.encode_event(Event("velocity", 0))
+  p70 = codec.encode_event(Event("pitch", 70))
+  tokens = np.asarray([bad, vel_on, p60, vel_off, p70])
+  state = spec.init_decoding_state_fn()
+  invalid, dropped = run_length.decode_events(
+      state, tokens, start_time=0.0, max_time=None, codec=codec,
+      decode_event_fn=spec.decode_event_fn)
+  assert invalid == 2  # out-of-vocab token + inactive note-off
+  assert dropped == 0
