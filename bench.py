@@ -188,5 +188,17 @@ def _typical_song_bench(size, num_steps, args):
         file=sys.stderr)
 
 
+def _main_with_retry():
+  # The tunneled TPU's remote-compile service occasionally drops a
+  # request ("Broken pipe"); one retry in a fresh attempt recovers it.
+  try:
+    main()
+  except Exception as e:  # noqa: BLE001 - deliberate broad retry
+    print(f"# bench attempt failed ({type(e).__name__}: {e}); retrying",
+          file=sys.stderr)
+    time.sleep(10)
+    main()
+
+
 if __name__ == "__main__":
-  main()
+  _main_with_retry()
