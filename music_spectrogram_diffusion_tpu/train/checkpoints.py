@@ -111,8 +111,10 @@ _T5X_RENAMES = [
     (r"pre_self_attention_layer_norm", "pre_self_attention_norm"),
     (r"pre_cross_attention_layer_norm", "pre_cross_attention_norm"),
     # Attention modules: reference DecoderLayer creates the cross
-    # attention unnamed -> 'MultiHeadDotProductAttention_0'.
-    (r"MultiHeadDotProductAttention_0", "cross_attention_0"),
+    # attention(s) unnamed -> 'MultiHeadDotProductAttention_0' (and '_1'
+    # per layer when decoder_cross_attend_style='sum_cross_attends',
+    # reference network.py:199-216).
+    (r"MultiHeadDotProductAttention_(\d+)", r"cross_attention_\1"),
     # FiLM layers: FiLMLayer_0 before self-attn, FiLMLayer_1 before MLP;
     # each contains an unnamed DenseGeneral -> DenseGeneral_0.
     (r"FiLMLayer_0/DenseGeneral_0", "self_attention_film/DenseGeneral_0"),
