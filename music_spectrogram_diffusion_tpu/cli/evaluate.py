@@ -1,11 +1,17 @@
 """Full-song evaluation CLI (single-host replacement for the Beam
 pipeline).
 
+  # Synthetic source (no dataset files needed):
   python -m music_spectrogram_diffusion_tpu.cli.evaluate \
       --checkpoint /path/ckpt --synthetic --output_dir /tmp/eval \
       [--steps 50] [--songs 4] [--vocode] [--always_mask_context] \
       [--prediction_source model|gt_encoded|gt_raw] \
       [--num_shards N --shard I]
+
+  # Real dataset (TFRecord shards mirrored locally; see data/registry):
+  python -m music_spectrogram_diffusion_tpu.cli.evaluate \
+      --checkpoint /path/ckpt --dataset maestrov3 --split validation \
+      --data_root /data/mirror --output_dir /tmp/eval
 """
 
 from __future__ import annotations
@@ -20,6 +26,13 @@ def main():
   p.add_argument("--preset", default="context_small",
                  help="used when no checkpoint is given (random weights)")
   p.add_argument("--synthetic", action="store_true")
+  p.add_argument("--dataset", default=None,
+                 help="dataset config name (e.g. maestrov3); requires "
+                      "TFRecord files reachable via --data_root")
+  p.add_argument("--split", default="validation",
+                 help="dataset split for --dataset")
+  p.add_argument("--data_root", default=None,
+                 help="local mirror root for gs:// dataset paths")
   p.add_argument("--songs", type=int, default=2)
   p.add_argument("--songs_per_batch", type=int, default=2)
   p.add_argument("--steps", type=int, default=None)
@@ -43,13 +56,17 @@ def main():
 
   from music_spectrogram_diffusion_tpu import config as cfg_lib
   from music_spectrogram_diffusion_tpu.audio import vocoder
-  from music_spectrogram_diffusion_tpu.data import synthetic, tasks
+  from music_spectrogram_diffusion_tpu.data import (datasets, registry,
+                                                    synthetic, tasks)
   from music_spectrogram_diffusion_tpu.infer import (evaluation, inference,
                                                      synthesize)
   from music_spectrogram_diffusion_tpu.midi import vocabularies
 
-  if not args.synthetic:
-    raise NotImplementedError("only --synthetic sources in this env")
+  if not args.synthetic and not args.dataset:
+    p.error("pick a source: --synthetic or --dataset NAME")
+  if args.dataset and args.dataset not in datasets.ALL_DATASET_CONFIGS:
+    p.error(f"unknown dataset {args.dataset!r}; "
+            f"known: {sorted(datasets.ALL_DATASET_CONFIGS)}")
 
   if args.checkpoint:
     wrapper = inference.InferenceModel(args.checkpoint,
@@ -77,15 +94,35 @@ def main():
     params = jax.jit(lambda k: model.init_variables(k, shapes, types))(
         jax.random.PRNGKey(0))["params"]
 
-  task = tasks.Task(
-      name="eval", source_fn=lambda: synthetic.synthetic_source(
-          args.songs, duration=10.0, seed=args.seed),
-      audio_codec=model.audio_codec,
-      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
-      note_rep=tasks.NoteRepresentationConfig(include_ties=True),
-      with_context=experiment.with_context)
+  if args.synthetic:
+    task = tasks.Task(
+        name="eval", source_fn=lambda: synthetic.synthetic_source(
+            args.songs, duration=10.0, seed=args.seed),
+        audio_codec=model.audio_codec,
+        vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+        note_rep=tasks.NoteRepresentationConfig(include_ties=True),
+        with_context=experiment.with_context)
+  else:
+    task = registry.make_dataset_task(
+        datasets.ALL_DATASET_CONFIGS[args.dataset], args.split,
+        vocab_config=registry.VOCAB_CONFIG_NOVELOCITY,
+        with_context=experiment.with_context,
+        data_root=args.data_root,
+        audio_codec=model.audio_codec)
+    print(f"task: {task.name}")
 
   ds = task.full_song_dataset(lengths)
+  if not args.synthetic and args.songs:
+    # Bound song count by truncating the segment stream; group_songs
+    # drops the trailing partial song below.
+    songs_seen = set()
+
+    def within_limit(ex):
+      key = ex.get("id", "")
+      key = key.decode() if isinstance(key, bytes) else str(key)
+      songs_seen.add(key)
+      return len(songs_seen) <= args.songs
+    ds = ds.filter(within_limit)
   songs = evaluation.group_songs(ds)
   if args.num_shards > 1:
     keys = sorted(songs)

@@ -24,11 +24,13 @@ def main():
   p.add_argument("--mesh", default=None,
                  help="DATAxMODEL, e.g. 4x2 (default: all devices as DP)")
   p.add_argument("--synthetic", action="store_true",
-                 help="train on the synthetic sine dataset")
+                 help="train on the generated sine dataset")
   p.add_argument("--dataset", default="maestrov3",
-                 help="dataset config name (requires files on disk)")
-  p.add_argument("--data_dir", default=None,
-                 help="override dataset path root")
+                 help="dataset config name, or 'mega' for the full "
+                      "example-proportional mixture (requires TFRecords)")
+  p.add_argument("--data_root", default=None,
+                 help="local mirror root for gs:// dataset paths")
+  p.add_argument("--shuffle_buffer", type=int, default=256)
   p.add_argument("--log_period", type=int, default=100)
   p.add_argument("--seed", type=int, default=0)
   args = p.parse_args()
@@ -71,26 +73,44 @@ def main():
   if experiment.with_context:
     lengths["targets_context"] = tl.targets_context
 
-  if args.synthetic:
-    source_fn = lambda: synthetic.synthetic_source(64, duration=12.0)
-  else:
-    raise NotImplementedError(
-        "real dataset reading requires TFRecords on disk; "
-        "use --synthetic or point --data_dir at local shards")
-
-  task = tasks.Task(
-      name=f"train_{args.preset}",
-      source_fn=source_fn,
-      audio_codec=model.audio_codec,
-      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
-      note_rep=tasks.NoteRepresentationConfig(include_ties=True),
-      with_context=experiment.with_context)
-
   batch_size = experiment.train.batch_size
-  ds = (task.model_dataset(lengths, training=True, seed=args.seed)
-        .repeat()
-        .batch(batch_size)
-        .prefetch(4, num_threads=4))
+  if args.synthetic:
+    task = tasks.Task(
+        name=f"train_{args.preset}",
+        source_fn=lambda: synthetic.synthetic_source(64, duration=12.0),
+        audio_codec=model.audio_codec,
+        vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+        note_rep=tasks.NoteRepresentationConfig(include_ties=True),
+        with_context=experiment.with_context)
+    ds = task.model_dataset(lengths, training=True, seed=args.seed,
+                            shuffle_buffer_size=args.shuffle_buffer).repeat()
+  elif args.dataset == "mega":
+    from music_spectrogram_diffusion_tpu.data import registry
+    registry.register_all_tasks(data_root=args.data_root,
+                                with_context=experiment.with_context,
+                                include_eval_splits=False)
+    mix_name = ("synthesis_with_context_mega" if experiment.with_context
+                else "synthesis_mega")
+    mixture = tasks.MIXTURE_REGISTRY[mix_name]
+    print(f"mixture: {mix_name} over {len(mixture.task_names)} tasks")
+    ds = mixture.dataset(lengths, training=True, seed=args.seed)
+  else:
+    from music_spectrogram_diffusion_tpu.data import datasets, registry
+    if args.dataset not in datasets.ALL_DATASET_CONFIGS:
+      p.error(f"unknown dataset {args.dataset!r}; "
+              f"known: {sorted(datasets.ALL_DATASET_CONFIGS)} or 'mega'")
+    config = datasets.ALL_DATASET_CONFIGS[args.dataset]
+    task = registry.make_dataset_task(
+        config, config.train_split,
+        vocab_config=registry.VOCAB_CONFIG_NOVELOCITY,
+        with_context=experiment.with_context,
+        data_root=args.data_root,
+        audio_codec=model.audio_codec)
+    print(f"task: {task.name}")
+    ds = task.model_dataset(lengths, training=True, seed=args.seed,
+                            shuffle_buffer_size=args.shuffle_buffer).repeat()
+
+  ds = ds.batch(batch_size).prefetch(4, num_threads=4)
 
   # Trainer + state.
   t = trainer.Trainer(model=model, train_cfg=experiment.train, mesh=mesh)

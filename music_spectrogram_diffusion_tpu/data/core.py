@@ -4,6 +4,13 @@ Examples are plain dicts of numpy arrays; a Dataset is a re-iterable lazy
 pipeline over them. Heavyweight parallelism lives in `prefetch` (a
 background thread pool) — everything else is simple composition, which
 keeps the pipeline picklable, debuggable, and free of TF.
+
+Epoch semantics: every pipeline stage receives an epoch number.
+`repeat()` bumps it once per pass, and seeded stages (`map_with_seed`,
+`shuffle`) mix it into their seeds, so repeated epochs draw *fresh*
+random chunks/orders while a fixed base seed still reproduces the whole
+run — the same contract tf.data's seeded maps give the reference
+pipeline (reference preprocessors.py:751-860).
 """
 
 from __future__ import annotations
@@ -13,68 +20,91 @@ import queue
 import threading
 from typing import Any, Callable, Dict, Iterable, Iterator, Optional
 
+import numpy as np
+
 Example = Dict[str, Any]
 
 
-class Dataset:
-  """A re-iterable stream of example dicts."""
+def _mix_seed(*parts: int) -> int:
+  """Deterministically mix integers into one 32-bit seed."""
+  return int(np.random.SeedSequence(list(parts)).generate_state(1)[0])
 
-  def __init__(self, gen_fn: Callable[[], Iterator[Example]]):
+
+class Dataset:
+  """A re-iterable stream of example dicts.
+
+  The underlying generator function takes the current epoch number;
+  `iter(ds)` starts epoch 0.
+  """
+
+  def __init__(self, gen_fn: Callable[[int], Iterator[Example]]):
     self._gen_fn = gen_fn
 
   def __iter__(self) -> Iterator[Example]:
-    return self._gen_fn()
+    return self._gen_fn(0)
+
+  def epoch(self, epoch: int) -> Iterator[Example]:
+    """Iterate one specific epoch (seeded stages reseed per epoch)."""
+    return self._gen_fn(epoch)
 
   # -- constructors ---------------------------------------------------------
 
   @staticmethod
   def from_list(examples) -> "Dataset":
-    return Dataset(lambda: iter(list(examples)))
+    examples = list(examples)
+    return Dataset(lambda epoch: iter(examples))
 
   @staticmethod
   def from_generator(gen_fn: Callable[[], Iterable[Example]]) -> "Dataset":
-    return Dataset(lambda: iter(gen_fn()))
+    return Dataset(lambda epoch: iter(gen_fn()))
 
   # -- transforms -----------------------------------------------------------
 
   def map(self, fn: Callable[[Example], Example]) -> "Dataset":
-    return Dataset(lambda: (fn(ex) for ex in self))
+    return Dataset(lambda epoch: (fn(ex) for ex in self._gen_fn(epoch)))
 
   def map_with_seed(self, fn: Callable[[Example, int], Example],
                     base_seed: int = 0) -> "Dataset":
-    """Map with a per-example deterministic seed (position-based)."""
-    def gen():
-      for i, ex in enumerate(self):
-        yield fn(ex, base_seed + i)
+    """Map with a per-example deterministic seed (epoch + position)."""
+    def gen(epoch):
+      for i, ex in enumerate(self._gen_fn(epoch)):
+        yield fn(ex, _mix_seed(base_seed, epoch, i))
     return Dataset(gen)
 
   def filter(self, pred: Callable[[Example], bool]) -> "Dataset":
-    return Dataset(lambda: (ex for ex in self if pred(ex)))
+    return Dataset(
+        lambda epoch: (ex for ex in self._gen_fn(epoch) if pred(ex)))
 
   def flat_map(self,
                fn: Callable[[Example], Iterable[Example]]) -> "Dataset":
-    def gen():
-      for ex in self:
+    def gen(epoch):
+      for ex in self._gen_fn(epoch):
         yield from fn(ex)
     return Dataset(gen)
 
   def repeat(self, count: Optional[int] = None) -> "Dataset":
-    def gen():
-      it = range(count) if count is not None else itertools.count()
-      for _ in it:
-        yield from self
+    """Repeat the dataset; each pass runs as a distinct epoch."""
+    def gen(epoch):
+      if count is not None:
+        for i in range(count):
+          yield from self._gen_fn(epoch * count + i)
+      else:
+        for i in itertools.count():
+          yield from self._gen_fn(i)
     return Dataset(gen)
 
   def take(self, n: int) -> "Dataset":
-    return Dataset(lambda: itertools.islice(iter(self), n))
+    return Dataset(
+        lambda epoch: itertools.islice(self._gen_fn(epoch), n))
 
   def shuffle(self, buffer_size: int, seed: int = 0) -> "Dataset":
-    """Streaming shuffle with a fixed-size reservoir (tf.data semantics)."""
-    def gen():
+    """Streaming shuffle with a fixed-size reservoir (tf.data semantics);
+    the order reshuffles every epoch."""
+    def gen(epoch):
       import random
-      rng = random.Random(seed)
+      rng = random.Random(_mix_seed(seed, epoch))
       buf = []
-      for ex in self:
+      for ex in self._gen_fn(epoch):
         buf.append(ex)
         if len(buf) >= buffer_size:
           idx = rng.randrange(len(buf))
@@ -86,11 +116,9 @@ class Dataset:
 
   def batch(self, batch_size: int, drop_remainder: bool = True) -> "Dataset":
     """Stack examples into batched arrays."""
-    import numpy as np
-
-    def gen():
+    def gen(epoch):
       buf = []
-      for ex in self:
+      for ex in self._gen_fn(epoch):
         buf.append(ex)
         if len(buf) == batch_size:
           yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
@@ -107,9 +135,9 @@ class Dataset:
     (each thread pulls from a shared iterator); ordering is not
     guaranteed, matching tf.data's parallel map semantics.
     """
-    def gen():
+    def gen(epoch):
       q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
-      src = iter(self)
+      src = self._gen_fn(epoch)
       src_lock = threading.Lock()
       _END = object()
       n_done = [0]
@@ -142,6 +170,32 @@ class Dataset:
         if kind == "error":
           raise item
         yield item
+    return Dataset(gen)
+
+  def parallel_map(self, fn: Callable[[Example], Example],
+                   num_threads: int = 4,
+                   buffer_size: Optional[int] = None) -> "Dataset":
+    """Apply `fn` with a thread pool, preserving input order
+    (tf.data `map(num_parallel_calls=...)` with deterministic=True).
+
+    Upstream iteration stays single-threaded; only `fn` runs in
+    parallel. numpy releases the GIL for most heavy kernels, so this
+    gives real speedups for featurization-bound pipelines.
+    """
+    if buffer_size is None:
+      buffer_size = 2 * num_threads
+
+    def gen(epoch):
+      from concurrent import futures
+      src = self._gen_fn(epoch)
+      with futures.ThreadPoolExecutor(num_threads) as pool:
+        pending = []
+        for ex in src:
+          pending.append(pool.submit(fn, ex))
+          if len(pending) >= buffer_size:
+            yield pending.pop(0).result()
+        for fut in pending:
+          yield fut.result()
     return Dataset(gen)
 
   # -- materialisation ------------------------------------------------------

@@ -26,6 +26,24 @@ VOCAB_CONFIG_FULL = vocabularies.VocabularyConfig()
 VOCAB_CONFIG_NOVELOCITY = vocabularies.VocabularyConfig(
     num_velocity_bins=1)
 
+# Train-split example counts used for example-proportional mixture rates
+# (reference tasks.py:636-649 passes seqio.mixing_rate_num_examples with
+# temperature 10/3, which reads per-task cached-example stats). Without
+# cached stats in this environment, these are the published dataset
+# train-split song/track counts; pass exact cached-chunk counts to
+# register_all_tasks(num_examples=...) when a cache exists.
+DEFAULT_TRAIN_NUM_EXAMPLES = {
+    "maestrov1": 954,
+    "maestrov3": 962,
+    "guitarset": 238,
+    "urmp": 35,
+    "musicnet": 320,
+    "cerberus4": 1289,
+    "slakh": 1289,
+}
+
+MIXING_TEMPERATURE = 10 / 3  # reference tasks.py:596
+
 
 def _localize(path: str, data_root: Optional[str]) -> str:
   """Map a gs:// path to a local mirror under data_root."""
@@ -105,7 +123,8 @@ def _raw_source(config, split, audio_codec, event_codec_obj, note_rep,
 
 def register_all_tasks(data_root: Optional[str] = None,
                        with_context: bool = True,
-                       include_eval_splits: bool = True
+                       include_eval_splits: bool = True,
+                       num_examples: Optional[Dict[str, int]] = None
                        ) -> Sequence[str]:
   """Register train tasks for every mixture dataset + eval-split tasks
   + the mega mixture.
@@ -115,8 +134,10 @@ def register_all_tasks(data_root: Optional[str] = None,
   like reference tasks.py:211-253 ('_full' variants come from using
   Task.full_song_dataset on the same task).
   """
+  num_examples = {**DEFAULT_TRAIN_NUM_EXAMPLES, **(num_examples or {})}
   names = []
   train_names = []
+  train_counts = []
   for config in datasets.SYNTH_MIXTURE_DATASET_CONFIGS:
     task = make_dataset_task(
         config, config.train_split,
@@ -125,6 +146,7 @@ def register_all_tasks(data_root: Optional[str] = None,
     tasks.register_task(task)
     names.append(task.name)
     train_names.append(task.name)
+    train_counts.append(num_examples[config.name])
     if include_eval_splits:
       for split in config.infer_eval_splits:
         eval_task = make_dataset_task(
@@ -138,8 +160,9 @@ def register_all_tasks(data_root: Optional[str] = None,
       name=("synthesis_with_context_mega" if with_context
             else "synthesis_mega"),
       task_names=list(train_names),
-      # Reference uses temperature-10/3 example-proportional rates
-      # (tasks.py:594-649); without dataset stats available use uniform.
-      rates=None)
+      # Temperature-10/3 example-proportional rates, matching the
+      # reference mega mixture (tasks.py:594-649).
+      rates=tasks.example_proportional_rates(
+          train_counts, temperature=MIXING_TEMPERATURE))
   tasks.register_mixture(mixture)
   return names + [mixture.name]

@@ -107,8 +107,16 @@ class Task:
 
   def train_dataset(self,
                     task_feature_lengths: Mapping[str, int],
-                    seed: int = 0) -> core.Dataset:
-    """Random-chunk training examples with task features."""
+                    seed: int = 0,
+                    shuffle_buffer_size: int = 256) -> core.Dataset:
+    """Random-chunk training examples with task features.
+
+    Chunk starts are drawn fresh every epoch (epoch-mixed seeds) and the
+    chunk stream is reservoir-shuffled, matching the reference's
+    post-cache shuffle + seeded random-chunk maps (reference
+    preprocessors.py:751-860, seqio shuffle). Set shuffle_buffer_size=0
+    to disable shuffling (deterministic order, e.g. for goldens).
+    """
     ds = self.tokenized(split_sequences=True)
     l_tgt = task_feature_lengths["targets"]
     l_ctx = task_feature_lengths.get("targets_context", 0)
@@ -142,6 +150,8 @@ class Task:
         return out
       ds = ds.map_with_seed(chunk, base_seed=seed)
 
+    if shuffle_buffer_size:
+      ds = ds.shuffle(shuffle_buffer_size, seed=seed)
     return self._finalize(ds, task_feature_lengths, training=True)
 
   # -- post-cache (full-song eval) ------------------------------------------
@@ -215,8 +225,11 @@ class Task:
 
   def model_dataset(self, task_feature_lengths: Mapping[str, int],
                     training: bool = True, seed: int = 0,
-                    passthrough_keys: Sequence[str] = ()) -> core.Dataset:
-    ds = (self.train_dataset(task_feature_lengths, seed=seed) if training
+                    passthrough_keys: Sequence[str] = (),
+                    shuffle_buffer_size: int = 256) -> core.Dataset:
+    ds = (self.train_dataset(task_feature_lengths, seed=seed,
+                             shuffle_buffer_size=shuffle_buffer_size)
+          if training
           else self.full_song_dataset(task_feature_lengths))
     return feature_converters.convert_dataset(
         ds, self.feature_converter(), task_feature_lengths,

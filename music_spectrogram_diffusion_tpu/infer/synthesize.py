@@ -119,7 +119,8 @@ class Synthesizer:
     Args:
       songs: per song, the list of per-segment `encoder_input_tokens`
         (1D int32, already padded/EOS'd to the task inputs length).
-      rng: base PRNG key; folded per segment.
+      rng: base PRNG key; folded per (song, segment), so a song renders
+        identically whether batched with others or alone.
       vocode: run the attached vocoder (if any) on the result.
 
     Returns:
@@ -146,14 +147,20 @@ class Synthesizer:
                        self.model.audio_codec.pad_value, jnp.float32)
     context_mask = jnp.zeros((n_songs, l_ctx), bool)
 
+    # One key per song; the sampler draws each song's noise from its own
+    # key, so batch composition doesn't change any song's output.
+    song_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        rng, jnp.arange(n_songs))
+
     mel_segments = []
     seg_times = []
     for gi in range(max_segments):
       batch = self._segment_batch(
           jnp.asarray(tokens[gi]), context, context_mask)
       t0 = time.time()
-      pred = self._predict(self.params, batch,
-                           jax.random.fold_in(rng, gi))
+      seg_keys = jax.vmap(jax.random.fold_in, (0, None))(
+          song_keys, jnp.asarray(gi))
+      pred = self._predict(self.params, batch, seg_keys)
       _device_sync(pred)
       seg_times.append(time.time() - t0)
       mel_segments.append(pred)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from music_spectrogram_diffusion_tpu.audio import codecs
 from music_spectrogram_diffusion_tpu.models.autoregressive import (
     network, output_functions)
+from music_spectrogram_diffusion_tpu.ops import diffusion as dops
 
 Array = jnp.ndarray
 PyTree = Any
@@ -81,6 +82,11 @@ class AutoregressiveModel:
     """Autoregressively generate the target spectrogram segment."""
     if rng is None:
       rng = jax.random.PRNGKey(42)
+    if dops.is_batched_key(rng):
+      # AR decoding threads one key through its scan; collapse
+      # per-example keys (used by the batch-invariant diffusion sampler)
+      # to the first example's key.
+      rng = rng[0]
     tokens = batch["encoder_input_tokens"]
     target_shape = batch["decoder_target_tokens"].shape
     batch_size, target_len = target_shape[0], target_shape[1]

@@ -238,13 +238,17 @@ class DecoderLayer(nn.Module):
            jnp.zeros((zeros_tail_rows,) + attn_out.shape[1:],
                      attn_out.dtype)], axis=0)
 
+    # Masks here are raw [batch, kv_len] keep-masks (row-constant over
+    # queries); MultiHeadAttention streams them as-is on the fused path
+    # (q*kv-bias-free) and folds them into an additive bias on XLA.
     if cfg.cross_attend_style == "concat_encodings":
       encoded = jnp.concatenate(
           [e for e, _ in encodings_and_encdec_masks], axis=1)
       mask = jnp.concatenate(
-          [m for _, m in encodings_and_encdec_masks], axis=-1)
+          [jnp.asarray(m, cfg.dtype)
+           for _, m in encodings_and_encdec_masks], axis=-1)
       y_n = self.cross_attentions[0](
-          y_q, encoded, mask, deterministic=deterministic,
+          y_q, encoded, kv_mask=mask, deterministic=deterministic,
           cached_kv=cross_kv[0] if cross_kv is not None else None)
       y_n = layers.zero_if_all_masked(y_n, mask)
       y = pad_uncond(y_n)
@@ -253,8 +257,9 @@ class DecoderLayer(nn.Module):
     else:  # sum_cross_attends
       ys = []
       for i, (encoded, mask) in enumerate(encodings_and_encdec_masks):
+        mask = jnp.asarray(mask, cfg.dtype)
         y_n = self.cross_attentions[i](
-            y_q, encoded, mask, deterministic=deterministic,
+            y_q, encoded, kv_mask=mask, deterministic=deterministic,
             cached_kv=cross_kv[i] if cross_kv is not None else None)
         y_n = layers.zero_if_all_masked(y_n, mask)
         y_n = self.dropout(y_n, deterministic=deterministic)
@@ -393,14 +398,6 @@ class Decoder(nn.Module):
     assert emb.shape == (batch, 1, cfg.emb_dim * 4)
     return emb
 
-  def _encdec_masks(self, encodings_and_masks: EncodingsAndMasks,
-                    decoder_len: int) -> EncodingsAndMasks:
-    cfg = self.config
-    decoder_mask = jnp.ones(
-        (encodings_and_masks[0][0].shape[0], decoder_len))
-    return [(e, layers.make_attention_mask(decoder_mask, m, dtype=cfg.dtype))
-            for e, m in encodings_and_masks]
-
   def precompute_cross_kv(
       self, encodings_and_masks: EncodingsAndMasks) -> CrossKVCache:
     """Per-layer cross-attention K/V over the fixed encoder memory."""
@@ -425,7 +422,10 @@ class Decoder(nn.Module):
         f"{cfg.output_dim}")
 
     conditioning = self._conditioning(decoder_noise_time, batch)
-    encdec = self._encdec_masks(encodings_and_masks, seq_length)
+    # The denoiser attends from every decoder position, so the
+    # encoder-decoder mask is row-constant: pass the raw [batch, kv]
+    # keep-masks straight through to the layers.
+    encdec = encodings_and_masks
 
     positions = jnp.broadcast_to(
         jnp.arange(seq_length), (batch, seq_length))

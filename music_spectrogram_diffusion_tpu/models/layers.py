@@ -280,7 +280,11 @@ class MultiHeadAttention(nn.Module):
                bias: Optional[Array] = None,
                *,
                cached_kv: Optional[Tuple[Array, Array]] = None,
+               kv_mask: Optional[Array] = None,
                deterministic: bool = False) -> Array:
+    """kv_mask: optional [batch, kv_len] keep-mask, equivalent to a
+    row-constant `mask` but far cheaper on the fused path (the kernel
+    streams kv bools instead of a q*kv bias tensor)."""
     query = self.query_proj(inputs_q)
     query = with_sharding_constraint(query,
                                      ("batch", "length", "heads", "kv"))
@@ -297,14 +301,18 @@ class MultiHeadAttention(nn.Module):
     dropout_active = not deterministic and self.dropout_rate > 0.0
     if self.use_fused_attention and not dropout_active:
       from music_spectrogram_diffusion_tpu.ops import attention as fused
-      x = fused.fused_attention(query, key, value, attention_bias,
-                                kv_transposed=True)
+      x = fused.flash_attention(query, key, value, attention_bias,
+                                kv_mask=kv_mask, kv_transposed=True)
       return self.out_proj(x.astype(self.dtype))
     if self.use_fused_attention:
       # KV came back in the fused layout but we need the XLA path
       # (attention dropout active); undo the transpose.
       key = jnp.transpose(key, (0, 2, 1, 3))
       value = jnp.transpose(value, (0, 2, 1, 3))
+    if kv_mask is not None:
+      km_bias = mask_to_bias(kv_mask[:, None, None, :], self.dtype)
+      attention_bias = km_bias if attention_bias is None else (
+          attention_bias + km_bias)
 
     dropout_rng = self.make_rng("dropout") if dropout_active else None
 
@@ -593,6 +601,11 @@ def zero_if_all_masked(y: Array, mask: Array) -> Array:
   indistinguishable from *nothing* masked — this guard makes all-masked
   cross-attention (CFG uncond branch, empty first-segment context) return
   exactly zero instead.
+
+  mask: [b, 1, q, kv] attention mask, or a raw [b, kv] kv keep-mask.
   """
-  is_not_empty = jnp.any(jnp.squeeze(mask, 1) == 1, axis=-1, keepdims=True)
+  if mask.ndim == 2:  # [b, kv]
+    is_not_empty = jnp.any(mask == 1, axis=-1)[:, None, None]
+  else:
+    is_not_empty = jnp.any(jnp.squeeze(mask, 1) == 1, axis=-1, keepdims=True)
   return y * is_not_empty.astype(y.dtype)

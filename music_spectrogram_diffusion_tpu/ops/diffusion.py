@@ -295,6 +295,30 @@ def ddim_update(i: Array, logsnr_s: Array, pred_x0: Array,
   return jnp.where(i == 0, pred_x0, z_s)
 
 
+def is_batched_key(rng: jax.Array) -> bool:
+  """True when `rng` is a [batch] array of per-example PRNG keys."""
+  if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+    return rng.ndim == 1
+  return rng.ndim == 2
+
+
+def _normal_from_keys(rng: jax.Array, i: Optional[Array],
+                      shape: Tuple[int, ...], dtype) -> Array:
+  """Draw noise from one key (whole batch) or [batch] per-example keys.
+
+  Per-example keys make the draw for each example independent of its
+  batch neighbours, so batched sampling equals one-at-a-time sampling;
+  the single-key path matches the reference RNG structure exactly
+  (reference diffusion_utils.py:382-395)."""
+  if is_batched_key(rng):
+    def draw(k):
+      k = k if i is None else jax.random.fold_in(k, i)
+      return jax.random.normal(k, shape=shape[1:], dtype=dtype)
+    return jax.vmap(draw)(rng)
+  rng = rng if i is None else jax.random.fold_in(rng, i)
+  return jax.random.normal(rng, shape=shape, dtype=dtype)
+
+
 def ddpm_update(i: Array, rng: jax.Array, logsnr_s: Array, logsnr_t: Array,
                 pred_x0: Array, z_t: Array, logvar_type: str) -> Array:
   """One ancestral DDPM step (returns x0 at i == 0).
@@ -304,8 +328,7 @@ def ddpm_update(i: Array, rng: jax.Array, logsnr_s: Array, logsnr_t: Array,
   """
   logsnr_s_b = bcast_left(logsnr_s, pred_x0.shape)
   logsnr_t_b = bcast_left(logsnr_t, pred_x0.shape)
-  noise = jax.random.normal(
-      jax.random.fold_in(rng, i), shape=pred_x0.shape, dtype=pred_x0.dtype)
+  noise = _normal_from_keys(rng, i, pred_x0.shape, pred_x0.dtype)
   dist = reverse_process(pred_x0, z_t, logsnr_s_b, logsnr_t_b, logvar_type)
   return jnp.where(i == 0, pred_x0, dist["mean"] + dist["std"] * noise)
 
@@ -383,7 +406,9 @@ def sample(
   Args:
     rng: PRNG key; both the initial noise draw and the per-step DDPM noise
       derive from it (key structure matches reference eval_scan so seeded
-      outputs are comparable).
+      outputs are comparable). May also be a [batch] array of per-example
+      keys, which makes each example's sample independent of its batch
+      neighbours (batched == single).
     target_shape: [batch, frames, dims] of the sample to draw.
     config: diffusion hyperparameters.
     denoise_fn: (z, time, include_conditioning) -> model_output. Two calls
@@ -399,7 +424,7 @@ def sample(
   # Keep sampler state in float32: bf16 state accumulates rounding error
   # over ~1000 steps and audibly degrades output (reference note at
   # diffusion_utils.py:461).
-  init_z = jax.random.normal(rng, shape=target_shape, dtype=jnp.float32)
+  init_z = _normal_from_keys(rng, None, target_shape, jnp.float32)
 
   def body(z_t, i):
     z_s = sampler_step(

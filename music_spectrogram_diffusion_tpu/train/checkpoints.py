@@ -46,8 +46,17 @@ def save_checkpoint(ckpt_dir: str, step: int, params: PyTree,
     with open(os.path.join(path, "config.json"), "w") as f:
       f.write(config_json)
   with open(os.path.join(path, "METADATA"), "w") as f:
-    json.dump({"step": step}, f)
+    json.dump({"step": step, "has_opt_state": opt_state is not None}, f)
   return path
+
+
+def checkpoint_metadata(path: str) -> Dict[str, Any]:
+  """Read the METADATA json of a step_<N> checkpoint dir ({} if absent)."""
+  meta_path = os.path.join(path, "METADATA")
+  if not os.path.exists(meta_path):
+    return {}
+  with open(meta_path) as f:
+    return json.load(f)
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -63,23 +63,45 @@ class TrainLoop:
 
   def maybe_resume(self, state: trainer_lib.TrainState
                    ) -> trainer_lib.TrainState:
-    """Resume params/step from the latest checkpoint in model_dir, if
-    any (reference gin/resume.gin semantics: optimizer state rebuilds
-    from scratch, momentumless Adafactor tolerates this)."""
+    """Resume the full TrainState (params + optimizer state + step) from
+    the latest checkpoint in model_dir, if any (reference
+    gin/resume.gin + gin/train.gin:115-123 save/restore full state).
+    Older params-only checkpoints restore params and keep the fresh
+    optimizer state."""
     latest = checkpoints.latest_checkpoint(self.model_dir)
     if latest is None:
       return state
-    restored = checkpoints.restore_checkpoint(
-        latest, target={"params": jax.tree.map(np.asarray, state.params)})
-    params = jax.tree.map(
-        lambda a, b: jax.device_put(b, a.sharding),
-        state.params, restored["params"])
+    meta = checkpoints.checkpoint_metadata(latest)
+    target = {"params": jax.tree.map(np.asarray, state.params)}
+    if meta.get("has_opt_state"):
+      target["opt_state"] = jax.tree.map(np.asarray, state.opt_state)
+    restored = checkpoints.restore_checkpoint(latest, target=target)
+
+    # Restored leaves are committed by device_put; every one must live on
+    # the same device set or the jitted train step rejects the mix. Keep
+    # mesh shardings as-is and lift single-device leaves (optimizer
+    # scalars like Adafactor's count) to mesh-replicated.
+    replicated = jax.sharding.NamedSharding(
+        self.trainer.mesh, jax.sharding.PartitionSpec())
+
+    def _replace(like, value):
+      def put(a, b):
+        sh = a.sharding
+        if not isinstance(sh, jax.sharding.NamedSharding):
+          sh = replicated
+        return jax.device_put(b, sh)
+      return jax.tree.map(put, like, value)
+
+    params = _replace(state.params, restored["params"])
+    opt_state = state.opt_state
+    if meta.get("has_opt_state"):
+      opt_state = _replace(state.opt_state, restored["opt_state"])
     step = restored.get("step", 0)
-    print(f"resumed from {latest} at step {step}")
-    import jax.numpy as jnp
+    print(f"resumed from {latest} at step {step} "
+          f"(opt_state={'restored' if meta.get('has_opt_state') else 'fresh'})")
+    step_arr = jax.device_put(np.asarray(step, np.int32), replicated)
     return trainer_lib.TrainState(
-        step=jnp.asarray(step, jnp.int32), params=params,
-        opt_state=state.opt_state)
+        step=step_arr, params=params, opt_state=opt_state)
 
   def run(self,
           train_iter: Iterator[Dict[str, np.ndarray]],
@@ -98,18 +120,21 @@ class TrainLoop:
     window_seqs = 0.0
     n_devices = len(jax.devices())
 
-    for _ in range(start_step, num_steps):
+    # Counters stay device-side (lazy jax scalars) between log periods so
+    # the loop never forces a device->host sync per step; only the log /
+    # checkpoint boundaries fetch values.
+    for step in range(start_step + 1, num_steps + 1):
       batch = self.trainer.shard_batch(next(train_iter))
       state, metrics = self.trainer.train_step(state, batch, rng)
-      window_frames += float(metrics["n_frames"])
-      window_seqs += float(metrics["n_seqs"])
+      window_frames = window_frames + metrics["n_frames"]
+      window_seqs = window_seqs + metrics["n_seqs"]
 
-      step = int(state.step)
       if step % self.log_period == 0 or step == num_steps:
         elapsed = time.time() - window_t0
         logged = {k: v for k, v in metrics.items()}
         logged.update(metrics_lib.throughput_metrics(
-            window_seqs, window_frames, max(elapsed, 1e-9), n_devices))
+            float(window_seqs), float(window_frames),
+            max(elapsed, 1e-9), n_devices))
         logger.write(step, logged)
         window_t0 = time.time()
         window_frames = window_seqs = 0.0
@@ -117,7 +142,7 @@ class TrainLoop:
       if step % train_cfg.checkpoint_period == 0 or step == num_steps:
         path = checkpoints.save_checkpoint(
             self.model_dir, step, state.params,
-            opt_state=None,  # Adafactor state is cheap to rebuild
+            opt_state=state.opt_state,
             config_json=self.experiment.to_json())
         print(f"saved checkpoint: {path}")
 

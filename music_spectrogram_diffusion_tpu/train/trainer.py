@@ -77,6 +77,7 @@ class Trainer:
     self.optimizer = make_optimizer(self.train_cfg)
     self._param_shardings = None
     self._train_step_fn: Optional[Callable] = None
+    self._eval_step_fn: Optional[Callable] = None
 
   # -- state creation -------------------------------------------------------
 
@@ -141,6 +142,8 @@ class Trainer:
 
   def eval_step(self, state: TrainState,
                 batch: Dict[str, Array]) -> Dict[str, Array]:
+    if self._eval_step_fn is None:
+      self._eval_step_fn = jax.jit(self.model.loss_fn)
     with self.mesh, mesh_lib.axis_rules(self.rules):
-      _, metrics = jax.jit(self.model.loss_fn)(state.params, batch, None)
+      _, metrics = self._eval_step_fn(state.params, batch, None)
       return metrics

@@ -105,6 +105,54 @@ def test_decoder_fused_matches_unfused():
   assert corr > 0.999, corr
 
 
+def test_flash_multiple_kv_blocks():
+  """kv longer than one block exercises the online-softmax accumulation."""
+  q, k, v = make_qkv(b=2, q=16, kv=640, h=2, seed=8)
+  got = attention.flash_attention(q, k, v, interpret=True, mxu_bf16=False,
+                                  kv_block_size=256)
+  want = attention.attention_reference(q, k, v)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_flash_kv_mask_vector():
+  """[b, kv] mask vector must equal the equivalent [b, 1, q, kv] bias."""
+  q, k, v = make_qkv(b=2, q=16, kv=320, h=2, seed=9)
+  r = np.random.RandomState(10)
+  kv_mask = jnp.asarray(r.rand(2, 320) > 0.3)
+  got = attention.flash_attention(q, k, v, kv_mask=kv_mask,
+                                  interpret=True, mxu_bf16=False,
+                                  kv_block_size=128)
+  want = attention.attention_reference(q, k, v, kv_mask=kv_mask)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_flash_kv_mask_with_padding():
+  """Unaligned kv + mask: padded keys must not contribute."""
+  q, k, v = make_qkv(b=1, q=12, kv=200, h=2, seed=11)
+  kv_mask = jnp.asarray(np.arange(200)[None, :] < 150)
+  got = attention.flash_attention(q, k, v, kv_mask=kv_mask,
+                                  interpret=True, mxu_bf16=False,
+                                  kv_block_size=128)
+  want = attention.attention_reference(q, k, v, kv_mask=kv_mask)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_flash_bias_and_mask_combined():
+  q, k, v = make_qkv(b=2, q=8, kv=256, h=2, seed=12)
+  r = np.random.RandomState(13)
+  bias = jnp.asarray(r.randn(2, 1, 8, 256).astype(np.float32))
+  kv_mask = jnp.asarray(r.rand(2, 256) > 0.5)
+  got = attention.flash_attention(q, k, v, bias, kv_mask=kv_mask,
+                                  interpret=True, mxu_bf16=False,
+                                  kv_block_size=128)
+  want = attention.attention_reference(q, k, v, bias, kv_mask=kv_mask)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
 def test_fused_bf16_mxu_close():
   """Default (bf16 MXU passes) stays within bf16-level error of f32."""
   q, k, v = make_qkv(seed=7)

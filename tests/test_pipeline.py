@@ -118,3 +118,38 @@ def test_deterministic_given_seed():
   b = task.train_dataset(LENGTHS, seed=7).first()
   np.testing.assert_array_equal(a["inputs"], b["inputs"])
   np.testing.assert_allclose(a["targets"], b["targets"])
+
+
+def test_epochs_draw_fresh_chunks():
+  """repeat() must NOT replay identical random chunks each epoch
+  (reference per-call-seeded tf.data maps draw new chunks every epoch),
+  while a fixed seed still reproduces the full multi-epoch stream."""
+  task = make_task()
+  ds = task.train_dataset(LENGTHS, seed=3, shuffle_buffer_size=0)
+  n = len(ds.as_list())
+  two_epochs = ds.repeat(2).as_list()
+  assert len(two_epochs) == 2 * n
+  epoch1, epoch2 = two_epochs[:n], two_epochs[n:]
+  # At least one chunk differs between epochs (same songs, new starts).
+  any_diff = any(
+      a["targets"].shape != b["targets"].shape
+      or not np.allclose(a["targets"], b["targets"])
+      for a, b in zip(epoch1, epoch2))
+  assert any_diff, "epoch 2 replayed identical chunks"
+  # Reproducible: the same pipeline yields the same two-epoch stream.
+  replay = task.train_dataset(
+      LENGTHS, seed=3, shuffle_buffer_size=0).repeat(2).as_list()
+  for a, b in zip(two_epochs, replay):
+    np.testing.assert_array_equal(a["inputs"], b["inputs"])
+    np.testing.assert_allclose(a["targets"], b["targets"])
+
+
+def test_shuffle_reshuffles_each_epoch():
+  ds = core.Dataset.from_list([{"x": np.asarray(i)} for i in range(20)])
+  shuffled = ds.shuffle(8, seed=5)
+  e1 = [int(e["x"]) for e in shuffled.epoch(0)]
+  e2 = [int(e["x"]) for e in shuffled.epoch(1)]
+  assert sorted(e1) == sorted(e2) == list(range(20))
+  assert e1 != e2
+  # Same epoch re-iterates identically.
+  assert e1 == [int(e["x"]) for e in shuffled.epoch(0)]

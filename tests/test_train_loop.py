@@ -133,3 +133,57 @@ def test_resume_from_checkpoint(tmp_path):
   a = jax.tree_util.tree_leaves(state.params)[0]
   b = jax.tree_util.tree_leaves(resumed.params)[0]
   np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_trajectory_matches_uninterrupted(tmp_path):
+  """Interrupt-at-checkpoint + resume reproduces the uninterrupted run
+  exactly: the full TrainState (params + Adafactor state + step) round
+  trips through the checkpoint (reference gin/train.gin:115-123 saves
+  full state)."""
+  experiment = dataclasses.replace(
+      tiny_experiment(None),
+      train=cfg_lib.TrainConfig(
+          batch_size=2, learning_rate=1e-3, warmup_steps=2,
+          train_steps=20, checkpoint_period=10, eval_period=1000))
+  model = inference.build_model(experiment)
+  task = tasks.Task(
+      name="tiny_traj",
+      source_fn=lambda: synthetic.synthetic_source(2, duration=3.0),
+      audio_codec=model.audio_codec,
+      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+      note_rep=tasks.NoteRepresentationConfig(include_ties=True))
+  ds = task.model_dataset(LENGTHS, training=True).repeat().batch(2)
+  mesh = mesh_lib.make_mesh(data=2, model=1, devices=jax.devices()[:2])
+  first = ds.first()
+  shapes = {k: v.shape for k, v in first.items()}
+  types = {k: jnp.asarray(v).dtype for k, v in first.items()}
+
+  def fresh(model_dir):
+    t = trainer.Trainer(model=model, train_cfg=experiment.train, mesh=mesh)
+    state = t.create_state(jax.random.PRNGKey(0), shapes, types)
+    return t, loop.TrainLoop(trainer=t, experiment=experiment,
+                             model_dir=model_dir, log_period=1000)
+
+  # Uninterrupted: 20 steps straight through.
+  t_a, loop_a = fresh(str(tmp_path / "uninterrupted"))
+  state_a = loop_a.run(iter(ds), t_a.create_state(
+      jax.random.PRNGKey(0), shapes, types), num_steps=20)
+
+  # Interrupted: 10 steps, then a brand-new Trainer resumes from the
+  # step_10 checkpoint and consumes the *continuation* of the stream.
+  model_dir_b = str(tmp_path / "interrupted")
+  t_b1, loop_b1 = fresh(model_dir_b)
+  it_b = iter(ds)
+  loop_b1.run(it_b, t_b1.create_state(
+      jax.random.PRNGKey(0), shapes, types), num_steps=10)
+
+  t_b2, loop_b2 = fresh(model_dir_b)
+  state_b = t_b2.create_state(jax.random.PRNGKey(7), shapes, types)
+  state_b = loop_b2.maybe_resume(state_b)
+  assert int(state_b.step) == 10
+  state_b = loop_b2.run(it_b, state_b, num_steps=20)
+
+  assert int(state_a.step) == int(state_b.step) == 20
+  for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                  jax.tree_util.tree_leaves(state_b.params)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
