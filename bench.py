@@ -30,8 +30,15 @@ def main():
                  choices=["float32", "bfloat16"],
                  help="network compute dtype (params/sampler state stay "
                       "f32 either way)")
-  p.add_argument("--fused_attention", action="store_true",
-                 help="use the Pallas fused attention kernel")
+  p.add_argument("--fused_attention", action=argparse.BooleanOptionalAction,
+                 default=True,
+                 help="adaptive Pallas flash attention (default on; the "
+                      "dispatch falls back to XLA below the score-size "
+                      "threshold)")
+  p.add_argument("--attn_g", type=int, default=None,
+                 help="flash attention heads per grid step (experiment)")
+  p.add_argument("--attn_kvblk", type=int, default=None,
+                 help="flash attention kv block size (experiment)")
   p.add_argument("--typical", action="store_true",
                  help="measure a realistic full-song render (real token "
                       "lengths + input bucketing + segment chaining) "
@@ -43,6 +50,11 @@ def main():
 
   import jax
   import numpy as np
+
+  if args.attn_g or args.attn_kvblk:
+    from music_spectrogram_diffusion_tpu.ops import attention as attn_lib
+    attn_lib.DEFAULT_HEAD_BLOCK_SIZE = args.attn_g
+    attn_lib.DEFAULT_KV_BLOCK_SIZE = args.attn_kvblk
 
   from music_spectrogram_diffusion_tpu import config as cfg_lib
   from music_spectrogram_diffusion_tpu.audio import codecs

@@ -30,10 +30,29 @@ def main():
                       "example-proportional mixture (requires TFRecords)")
   p.add_argument("--data_root", default=None,
                  help="local mirror root for gs:// dataset paths")
+  p.add_argument("--cache_root", default=None,
+                 help="offline tokenization cache root "
+                      "(build with cli.cache_task)")
   p.add_argument("--shuffle_buffer", type=int, default=256)
+  p.add_argument("--data_threads", type=int, default=8,
+                 help="post-cache transform thread pool size")
   p.add_argument("--log_period", type=int, default=100)
   p.add_argument("--seed", type=int, default=0)
+  # Multi-host: run the same command on every host (see
+  # parallel/multihost.py for the launch procedure).
+  p.add_argument("--distributed", action="store_true",
+                 help="initialize jax.distributed (multi-host training)")
+  p.add_argument("--coordinator", default=None,
+                 help="coordinator host:port (non-TPU clusters)")
+  p.add_argument("--num_processes", type=int, default=None)
+  p.add_argument("--process_id", type=int, default=None)
   args = p.parse_args()
+
+  if args.distributed:
+    from music_spectrogram_diffusion_tpu.parallel import multihost
+    multihost.initialize(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
 
   import dataclasses
   import jax
@@ -88,7 +107,8 @@ def main():
     from music_spectrogram_diffusion_tpu.data import registry
     registry.register_all_tasks(data_root=args.data_root,
                                 with_context=experiment.with_context,
-                                include_eval_splits=False)
+                                include_eval_splits=False,
+                                cache_root=args.cache_root)
     mix_name = ("synthesis_with_context_mega" if experiment.with_context
                 else "synthesis_mega")
     mixture = tasks.MIXTURE_REGISTRY[mix_name]
@@ -105,12 +125,22 @@ def main():
         vocab_config=registry.VOCAB_CONFIG_NOVELOCITY,
         with_context=experiment.with_context,
         data_root=args.data_root,
-        audio_codec=model.audio_codec)
-    print(f"task: {task.name}")
+        audio_codec=model.audio_codec,
+        cache_root=args.cache_root)
+    print(f"task: {task.name}"
+          + (" (cached)" if task.cache_dir else " (no cache: tokenizing "
+             "online; build one with cli.cache_task)"))
     ds = task.model_dataset(lengths, training=True, seed=args.seed,
-                            shuffle_buffer_size=args.shuffle_buffer).repeat()
+                            shuffle_buffer_size=args.shuffle_buffer,
+                            num_threads=args.data_threads).repeat()
 
-  ds = ds.batch(batch_size).prefetch(4, num_threads=4)
+  # Multi-host: each host feeds its round-robin shard of the stream at
+  # the process-local batch size; shard_batch assembles the global batch.
+  if jax.process_count() > 1:
+    from music_spectrogram_diffusion_tpu.parallel import multihost
+    ds = multihost.shard_for_host(ds)
+    batch_size = multihost.process_local_batch_size(batch_size)
+  ds = ds.batch(batch_size).prefetch(4, num_threads=2)
 
   # Trainer + state.
   t = trainer.Trainer(model=model, train_cfg=experiment.train, mesh=mesh)

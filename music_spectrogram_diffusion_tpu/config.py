@@ -75,7 +75,7 @@ def network_config(size: str = "base",
                    vocab_size: Optional[int] = None,
                    dtype: str = "float32",
                    dropout_rate: float = 0.1,
-                   use_fused_attention: bool = False,
+                   use_fused_attention: bool = True,
                    remat: bool = False) -> network.NetworkConfig:
   """Build the transformer config for a given model size."""
   if size not in _SIZES:

@@ -1,0 +1,135 @@
+"""Offline task cache: tokenized examples -> TFRecord shards -> Dataset.
+
+The reference pipeline only works at training scale because tokenization
+runs OFFLINE (`seqio.CacheDatasetPlaceholder`, reference tasks.py:38,325
+— the pre-cache chain tokenize -> rekey -> split into <=2000-frame
+chunks is materialized to disk once, and training epochs read the
+cache). This module is that cache for the numpy pipeline:
+
+  * `write_cache(ds, cache_dir)` serializes any example stream into
+    TFRecord shards with a self-describing feature encoding (per-feature
+    shape + dtype side entries, pickle fallback for rich objects).
+  * `read_cache(cache_dir)` streams them back as a Dataset, with
+    examples exactly round-tripped.
+  * `Task` integration lives in tasks.Task.{build_cache,tokenized}.
+
+Wire format stays tf.train.Example inside standard TFRecord framing, so
+shards are also readable by any TF-based tooling.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import json
+import os
+import pickle
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+from music_spectrogram_diffusion_tpu.data import core
+from music_spectrogram_diffusion_tpu.data import datasets
+
+_SHAPE = "__shape__"
+_DTYPE = "__dtype__"
+_PICKLE = "__pickle__"
+SHARD_TEMPLATE = "cache-{:05d}.tfrecord"
+METADATA_FILE = "CACHE_METADATA.json"
+
+
+def encode_example(example: Dict[str, Any]) -> bytes:
+  """Serialize one example dict to a tf.train.Example record."""
+  features: Dict[str, Any] = {}
+  for key, value in example.items():
+    if isinstance(value, (bytes, str)):
+      features[key] = value
+      features[_DTYPE + key] = "bytes"
+      continue
+    arr = np.asarray(value)
+    if arr.dtype == object or arr.dtype.kind in "US":
+      features[key] = pickle.dumps(value)
+      features[_DTYPE + key] = _PICKLE
+      continue
+    features[_DTYPE + key] = arr.dtype.str
+    features[_SHAPE + key] = np.asarray(arr.shape, np.int64)
+    if arr.dtype.kind == "f":
+      features[key] = arr.reshape(-1).astype(np.float32)
+    elif arr.dtype.kind in "iub":
+      features[key] = arr.reshape(-1).astype(np.int64)
+    else:
+      raise TypeError(f"unsupported feature {key!r}: {arr.dtype}")
+  return datasets.serialize_example(features)
+
+
+def decode_example(record: bytes) -> Dict[str, Any]:
+  """Inverse of encode_example."""
+  raw = datasets.parse_example(record)
+  out: Dict[str, Any] = {}
+  for key, value in raw.items():
+    if key.startswith(_SHAPE) or key.startswith(_DTYPE):
+      continue
+    dtype_entry = raw.get(_DTYPE + key)
+    dtype = (dtype_entry[0].decode() if isinstance(dtype_entry, list)
+             else None)
+    if dtype == "bytes" or dtype is None and isinstance(value, list):
+      out[key] = value[0]
+    elif dtype == _PICKLE:
+      out[key] = pickle.loads(value[0])
+    else:
+      shape = tuple(int(x) for x in raw.get(_SHAPE + key, []))
+      arr = np.asarray(value)
+      out[key] = arr.reshape(shape).astype(np.dtype(dtype))
+  return out
+
+
+def write_cache(ds: core.Dataset, cache_dir: str,
+                examples_per_shard: int = 128) -> Dict[str, Any]:
+  """Materialize a dataset into TFRecord shards under cache_dir.
+
+  Returns the metadata dict (also written to CACHE_METADATA.json:
+  num_examples / num_shards — feeds example-proportional mixture rates).
+  """
+  os.makedirs(cache_dir, exist_ok=True)
+  shard: list = []
+  shard_idx = 0
+  n = 0
+  for ex in ds:
+    shard.append(encode_example(ex))
+    n += 1
+    if len(shard) >= examples_per_shard:
+      datasets.write_tfrecord(
+          os.path.join(cache_dir, SHARD_TEMPLATE.format(shard_idx)), shard)
+      shard, shard_idx = [], shard_idx + 1
+  if shard:
+    datasets.write_tfrecord(
+        os.path.join(cache_dir, SHARD_TEMPLATE.format(shard_idx)), shard)
+    shard_idx += 1
+  meta = {"num_examples": n, "num_shards": shard_idx}
+  with open(os.path.join(cache_dir, METADATA_FILE), "w") as f:
+    json.dump(meta, f)
+  return meta
+
+
+def cache_exists(cache_dir: Optional[str]) -> bool:
+  return bool(cache_dir) and os.path.exists(
+      os.path.join(cache_dir, METADATA_FILE))
+
+
+def cache_metadata(cache_dir: str) -> Dict[str, Any]:
+  with open(os.path.join(cache_dir, METADATA_FILE)) as f:
+    return json.load(f)
+
+
+def read_cache(cache_dir: str) -> core.Dataset:
+  """Stream a cache back; each epoch visits shards in written order
+  (downstream stages shuffle)."""
+  pattern = os.path.join(cache_dir, "cache-*.tfrecord")
+
+  def gen() -> Iterator[Dict[str, Any]]:
+    paths = sorted(globlib.glob(pattern))
+    if not paths:
+      raise FileNotFoundError(f"no cache shards under {cache_dir}")
+    for path in paths:
+      for record in datasets.iter_tfrecords(path):
+        yield decode_example(record)
+  return core.Dataset.from_generator(gen)

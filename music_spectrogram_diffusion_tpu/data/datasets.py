@@ -175,7 +175,8 @@ def parse_example(record: bytes) -> Dict[str, object]:
                 ints.append(x)
               continue
             ints.append(v)
-          out[name] = np.asarray(ints, np.int64)
+          # Negative int64s ride the wire as two's-complement uint64.
+          out[name] = np.asarray(ints, np.uint64).astype(np.int64)
   return out
 
 

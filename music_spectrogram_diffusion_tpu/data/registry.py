@@ -83,7 +83,8 @@ def make_dataset_task(config: datasets.DatasetConfig,
                       program_granularity: str = "full",
                       data_root: Optional[str] = None,
                       audio_codec: Optional[codecs.AudioCodec] = None,
-                      name_suffix: Optional[str] = None
+                      name_suffix: Optional[str] = None,
+                      cache_root: Optional[str] = None
                       ) -> tasks.Task:
   """One reference-style task for (dataset, split)."""
   note_rep = note_rep or tasks.NoteRepresentationConfig()
@@ -94,8 +95,9 @@ def make_dataset_task(config: datasets.DatasetConfig,
       prefix, config.name, audio_codec, vocab_config, note_rep,
       task_suffix=name_suffix or split)
 
-  # The Task re-tokenizes from raw records each epoch; real runs should
-  # cache task.tokenized() to TFRecords (datasets.write_tfrecord) first.
+  # Training reads the offline tokenization cache when one was built
+  # (cli/cache_task.py); otherwise it re-tokenizes raw records each
+  # epoch, which starves the accelerator at production batch sizes.
   task = tasks.Task(
       name=name,
       source_fn=functools.partial(
@@ -106,7 +108,8 @@ def make_dataset_task(config: datasets.DatasetConfig,
       note_rep=note_rep,
       with_context=with_context,
       program_granularity=program_granularity,
-      source_is_tokenized=True)
+      source_is_tokenized=True,
+      cache_dir=os.path.join(cache_root, name) if cache_root else None)
   return task
 
 
@@ -124,7 +127,8 @@ def _raw_source(config, split, audio_codec, event_codec_obj, note_rep,
 def register_all_tasks(data_root: Optional[str] = None,
                        with_context: bool = True,
                        include_eval_splits: bool = True,
-                       num_examples: Optional[Dict[str, int]] = None
+                       num_examples: Optional[Dict[str, int]] = None,
+                       cache_root: Optional[str] = None
                        ) -> Sequence[str]:
   """Register train tasks for every mixture dataset + eval-split tasks
   + the mega mixture.
@@ -142,11 +146,19 @@ def register_all_tasks(data_root: Optional[str] = None,
     task = make_dataset_task(
         config, config.train_split,
         vocab_config=VOCAB_CONFIG_NOVELOCITY,
-        with_context=with_context, data_root=data_root)
+        with_context=with_context, data_root=data_root,
+        cache_root=cache_root)
     tasks.register_task(task)
     names.append(task.name)
     train_names.append(task.name)
-    train_counts.append(num_examples[config.name])
+    # Exact cached-chunk counts (seqio uses these for mixing rates) beat
+    # the approximate song-count table when a cache exists.
+    from music_spectrogram_diffusion_tpu.data import cache as cache_lib
+    if cache_lib.cache_exists(task.cache_dir):
+      train_counts.append(
+          cache_lib.cache_metadata(task.cache_dir)["num_examples"])
+    else:
+      train_counts.append(num_examples[config.name])
     if include_eval_splits:
       for split in config.infer_eval_splits:
         eval_task = make_dataset_task(

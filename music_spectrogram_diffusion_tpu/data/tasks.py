@@ -19,6 +19,7 @@ from typing import Callable, Dict, Mapping, Optional, Sequence
 import numpy as np
 
 from music_spectrogram_diffusion_tpu.audio import codecs
+from music_spectrogram_diffusion_tpu.data import cache as cache_lib
 from music_spectrogram_diffusion_tpu.data import core
 from music_spectrogram_diffusion_tpu.data import feature_converters
 from music_spectrogram_diffusion_tpu.data import preprocessors
@@ -67,6 +68,11 @@ class Task:
   # True when source_fn already yields the tokenized schema (inputs/
   # targets/indices), e.g. dataset-specific tokenizers in data/registry.
   source_is_tokenized: bool = False
+  # Directory holding (or to hold) the offline tokenization cache
+  # (reference CacheDatasetPlaceholder, tasks.py:38,325). When the cache
+  # exists, `tokenized(split_sequences=True)` streams it instead of
+  # re-tokenizing raw records every epoch.
+  cache_dir: Optional[str] = None
 
   def __post_init__(self):
     self.codec = vocabularies.build_codec(self.vocab_config)
@@ -75,7 +81,16 @@ class Task:
   # -- pre-cache ------------------------------------------------------------
 
   def tokenized(self, split_sequences: bool = True) -> core.Dataset:
-    """tokenize -> rekey -> (optionally) split into cacheable chunks."""
+    """tokenize -> rekey -> (optionally) split into cacheable chunks.
+
+    Reads the offline cache instead when one was built (the cache stores
+    the post-split chunks, so it only serves split_sequences=True — the
+    full-song eval path always re-tokenizes to keep whole songs)."""
+    if split_sequences and cache_lib.cache_exists(self.cache_dir):
+      return cache_lib.read_cache(self.cache_dir)
+    return self._tokenized_fresh(split_sequences)
+
+  def _tokenized_fresh(self, split_sequences: bool) -> core.Dataset:
     def tokenize(ex):
       return preprocessors.tokenize_example(
           ns=ex["sequence"], samples=ex["audio"],
@@ -93,6 +108,22 @@ class Task:
           lambda ex: self._split_cached(ex))
     return ds
 
+  def build_cache(self, cache_dir: Optional[str] = None,
+                  examples_per_shard: int = 128):
+    """Materialize tokenize->rekey->split to TFRecord shards on disk.
+
+    Afterwards every epoch reads the cache (set / keep `cache_dir` on
+    the task). Returns {'num_examples', 'num_shards'}.
+    """
+    cache_dir = cache_dir or self.cache_dir
+    if not cache_dir:
+      raise ValueError(f"task {self.name}: no cache_dir given")
+    self.cache_dir = cache_dir
+    # Always re-tokenize for the write (never read a stale cache).
+    return cache_lib.write_cache(
+        self._tokenized_fresh(split_sequences=True), cache_dir,
+        examples_per_shard=examples_per_shard)
+
   def _split_cached(self, ex):
     n = len(ex["targets"])
     for start in range(0, n, MAX_NUM_CACHED_FRAMES):
@@ -108,7 +139,8 @@ class Task:
   def train_dataset(self,
                     task_feature_lengths: Mapping[str, int],
                     seed: int = 0,
-                    shuffle_buffer_size: int = 256) -> core.Dataset:
+                    shuffle_buffer_size: int = 256,
+                    num_threads: int = 1) -> core.Dataset:
     """Random-chunk training examples with task features.
 
     Chunk starts are drawn fresh every epoch (epoch-mixed seeds) and the
@@ -152,7 +184,8 @@ class Task:
 
     if shuffle_buffer_size:
       ds = ds.shuffle(shuffle_buffer_size, seed=seed)
-    return self._finalize(ds, task_feature_lengths, training=True)
+    return self._finalize(ds, task_feature_lengths, training=True,
+                          num_threads=num_threads)
 
   # -- post-cache (full-song eval) ------------------------------------------
 
@@ -182,39 +215,41 @@ class Task:
 
   def _finalize(self, ds: core.Dataset,
                 task_feature_lengths: Mapping[str, int],
-                training: bool) -> core.Dataset:
-    def note_repr(ex):
-      return preprocessors.note_representation_chain(
+                training: bool,
+                num_threads: int = 1) -> core.Dataset:
+    context_keys = ["targets_context"] if self.with_context else []
+
+    def transform(ex):
+      """The full post-cache per-example chain (one function so it can
+      run on a thread pool: mel encoding is the data-pipeline hot spot,
+      and numpy's FFT releases the GIL)."""
+      ex = preprocessors.note_representation_chain(
           ex, codec=self.codec,
           include_ties=self.note_rep.include_ties,
           granularity_type=self.program_granularity,
           feature_key="inputs")
-    ds = ds.map(note_repr)
-
-    context_keys = ["targets_context"] if self.with_context else []
-
-    def encode(ex):
-      return preprocessors.encode_audio(
+      ex = preprocessors.encode_audio(
           ex, audio_codec=self.audio_codec,
           sequence_lengths=task_feature_lengths,
           targets_keys=["targets"],
           context_keys=[k for k in context_keys if k in ex],
           keys_to_pad=["targets"] if training else None)
-    ds = ds.map(encode)
-
-    def length_guard(ex):
-      return preprocessors.handle_too_long(
+      ex = preprocessors.handle_too_long(
           ex, sequence_lengths=task_feature_lengths,
           lengths_include_eos_keys=("inputs",),
           skip=self.skip_too_long and training)
-    ds = ds.map(length_guard).filter(lambda ex: ex is not None)
-
-    def vocab_encode(ex):
+      if ex is None:
+        return None
       ex = dict(ex)
       ex["inputs_pretokenized"] = ex["inputs"]
       return preprocessors.tokenize_and_append_eos(
           ex, self.vocabulary, keys=("inputs",))
-    return ds.map(vocab_encode)
+
+    if num_threads > 1:
+      ds = ds.parallel_map(transform, num_threads=num_threads)
+    else:
+      ds = ds.map(transform)
+    return ds.filter(lambda ex: ex is not None)
 
   # -- model batches --------------------------------------------------------
 
@@ -226,9 +261,11 @@ class Task:
   def model_dataset(self, task_feature_lengths: Mapping[str, int],
                     training: bool = True, seed: int = 0,
                     passthrough_keys: Sequence[str] = (),
-                    shuffle_buffer_size: int = 256) -> core.Dataset:
+                    shuffle_buffer_size: int = 256,
+                    num_threads: int = 1) -> core.Dataset:
     ds = (self.train_dataset(task_feature_lengths, seed=seed,
-                             shuffle_buffer_size=shuffle_buffer_size)
+                             shuffle_buffer_size=shuffle_buffer_size,
+                             num_threads=num_threads)
           if training
           else self.full_song_dataset(task_feature_lengths))
     return feature_converters.convert_dataset(

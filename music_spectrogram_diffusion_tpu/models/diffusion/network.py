@@ -67,9 +67,10 @@ class NetworkConfig:
   max_context_length: int = 256
   max_target_length: int = 256
   output_dim: int = 128
-  # Route attention through the Pallas fused kernel (inference-time;
-  # ignored wherever dropout is active).
-  use_fused_attention: bool = False
+  # Route big-score attention through the Pallas flash kernel at
+  # inference (deterministic) time; small scores and all training steps
+  # take the XLA path (see layers.FLASH_MIN_SCORE_BYTES).
+  use_fused_attention: bool = True
   # Rematerialize encoder/decoder layers on the backward pass (trade
   # FLOPs for activation memory; enables bigger per-chip train batches).
   remat: bool = False

@@ -173,6 +173,15 @@ class MlpBlock(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+# Route through the Pallas flash kernel only when the XLA path's
+# materialized score tensor would be at least this large (bytes).
+# Measured on one v5e chip (base model, 200-step sampler): below this
+# XLA's batched einsums win (batch 1: 18.8x vs 14.6x realtime); above it
+# score spills make XLA HBM-bound and the kernel wins (CFG batch 8
+# cross-attention: 17.4x vs 12.1x aggregate).
+FLASH_MIN_SCORE_BYTES = 64 * 1024 * 1024
+
+
 def dot_product_attention(query: Array,
                           key: Array,
                           value: Array,
@@ -181,7 +190,8 @@ def dot_product_attention(query: Array,
                           dropout_rate: float = 0.0,
                           deterministic: bool = False,
                           dtype: DType = jnp.float32,
-                          float32_logits: bool = False) -> Array:
+                          float32_logits: bool = False,
+                          kv_transposed: bool = False) -> Array:
   """Standard softmax attention; q/k/v are [batch, length, heads, head_dim].
 
   Kept as plain einsums: XLA fuses the bias-add/softmax/matmul chain well on
@@ -193,7 +203,11 @@ def dot_product_attention(query: Array,
     query = query.astype(jnp.float32)
     key = key.astype(jnp.float32)
 
-  weights = jnp.einsum("bqhd,bkhd->bhqk", query, key)
+  # kv may arrive pre-transposed ([b, h, kv, d], the flash kernel's
+  # cached-KV layout); use it natively instead of transposing back.
+  k_sub = "bhkd" if kv_transposed else "bkhd"
+
+  weights = jnp.einsum(f"bqhd,{k_sub}->bhqk", query, key)
   if bias is not None:
     weights = weights + bias.astype(weights.dtype)
   weights = jax.nn.softmax(weights).astype(dtype)
@@ -206,7 +220,7 @@ def dot_product_attention(query: Array,
     weights = weights * (
         keep.astype(weights.dtype) / jnp.asarray(1.0 - dropout_rate, dtype))
 
-  return jnp.einsum("bhqk,bkhd->bqhd", weights, value)
+  return jnp.einsum(f"bhqk,{k_sub}->bqhd", weights, value)
 
 
 def mask_to_bias(mask: Optional[Array], dtype: DType) -> Optional[Array]:
@@ -299,16 +313,17 @@ class MultiHeadAttention(nn.Module):
           attention_bias + bias)
 
     dropout_active = not deterministic and self.dropout_rate > 0.0
-    if self.use_fused_attention and not dropout_active:
-      from music_spectrogram_diffusion_tpu.ops import attention as fused
-      x = fused.flash_attention(query, key, value, attention_bias,
-                                kv_mask=kv_mask, kv_transposed=True)
-      return self.out_proj(x.astype(self.dtype))
-    if self.use_fused_attention:
-      # KV came back in the fused layout but we need the XLA path
-      # (attention dropout active); undo the transpose.
-      key = jnp.transpose(key, (0, 2, 1, 3))
-      value = jnp.transpose(value, (0, 2, 1, 3))
+    # The kernel has no backward rule (inference-only); train steps
+    # (deterministic=False) always take the differentiable XLA path.
+    if self.use_fused_attention and deterministic:
+      batch, q_len = query.shape[0], query.shape[1]
+      kv_len = key.shape[2]  # fused layout [b, h, kv, d]
+      score_bytes = 4 * batch * self.num_heads * q_len * kv_len
+      if score_bytes >= FLASH_MIN_SCORE_BYTES:
+        from music_spectrogram_diffusion_tpu.ops import attention as fused
+        x = fused.flash_attention(query, key, value, attention_bias,
+                                  kv_mask=kv_mask, kv_transposed=True)
+        return self.out_proj(x.astype(self.dtype))
     if kv_mask is not None:
       km_bias = mask_to_bias(kv_mask[:, None, None, :], self.dtype)
       attention_bias = km_bias if attention_bias is None else (
@@ -319,7 +334,8 @@ class MultiHeadAttention(nn.Module):
     x = dot_product_attention(
         query, key, value, bias=attention_bias, dropout_rng=dropout_rng,
         dropout_rate=self.dropout_rate, deterministic=deterministic,
-        dtype=self.dtype, float32_logits=self.float32_logits)
+        dtype=self.dtype, float32_logits=self.float32_logits,
+        kv_transposed=self.use_fused_attention)
 
     return self.out_proj(x)
 

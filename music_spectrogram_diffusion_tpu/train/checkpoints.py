@@ -42,11 +42,15 @@ def save_checkpoint(ckpt_dir: str, step: int, params: PyTree,
     payload["opt_state"] = opt_state
   ckptr.save(os.path.join(path, "state"), payload)
   ckptr.wait_until_finished()
-  if config_json is not None:
-    with open(os.path.join(path, "config.json"), "w") as f:
-      f.write(config_json)
-  with open(os.path.join(path, "METADATA"), "w") as f:
-    json.dump({"step": step, "has_opt_state": opt_state is not None}, f)
+  # orbax coordinates the array save across processes; the plain-file
+  # sidecars are process-0-only.
+  import jax
+  if jax.process_index() == 0:
+    if config_json is not None:
+      with open(os.path.join(path, "config.json"), "w") as f:
+        f.write(config_json)
+    with open(os.path.join(path, "METADATA"), "w") as f:
+      json.dump({"step": step, "has_opt_state": opt_state is not None}, f)
   return path
 
 

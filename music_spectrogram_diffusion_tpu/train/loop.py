@@ -112,7 +112,11 @@ class TrainLoop:
       rng = jax.random.PRNGKey(0)
     train_cfg = self.experiment.train
     num_steps = num_steps or train_cfg.train_steps
-    logger = MetricsLogger(self.model_dir)
+    # Only process 0 writes checkpoints/metrics (multi-host training:
+    # every process runs this loop over the same global mesh).
+    primary = jax.process_index() == 0
+    logger = MetricsLogger(self.model_dir if primary else None,
+                           echo=primary)
 
     start_step = int(state.step)
     window_t0 = time.time()
@@ -140,11 +144,14 @@ class TrainLoop:
         window_frames = window_seqs = 0.0
 
       if step % train_cfg.checkpoint_period == 0 or step == num_steps:
+        # All processes participate (orbax coordinates the multi-host
+        # save); plain-file sidecars are written by process 0 only.
         path = checkpoints.save_checkpoint(
             self.model_dir, step, state.params,
             opt_state=state.opt_state,
             config_json=self.experiment.to_json())
-        print(f"saved checkpoint: {path}")
+        if primary:
+          print(f"saved checkpoint: {path}")
 
       if (self.eval_fn is not None and
           step % train_cfg.eval_period == 0):

@@ -104,15 +104,22 @@ class Trainer:
     return self._param_shardings
 
   def shard_batch(self, batch: Dict[str, Array]) -> Dict[str, Array]:
-    """Place a host batch on the mesh, sharded over the 'data' axis."""
+    """Place this host's batch on the mesh, sharded over 'data'.
+
+    Single-process: a device_put of the full batch. Multi-host: `batch`
+    is the PROCESS-LOCAL slice (global_batch / process_count examples);
+    every host's slices assemble into one globally-sharded array
+    (t5x-style per-host feeding).
+    """
     data_size = self.mesh.shape["data"]
-    batch_size = next(iter(batch.values())).shape[0]
-    if batch_size % data_size != 0:
+    local_size = next(iter(batch.values())).shape[0]
+    global_size = local_size * jax.process_count()
+    if global_size % data_size != 0:
       raise ValueError(
-          f"batch size {batch_size} is not divisible by the data mesh "
-          f"axis ({data_size} devices)")
-    sh = mesh_lib.batch_sharding(self.mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+          f"global batch size {global_size} is not divisible by the "
+          f"data mesh axis ({data_size} devices)")
+    from music_spectrogram_diffusion_tpu.parallel import multihost
+    return multihost.host_local_batch_to_global(batch, self.mesh)
 
   # -- steps ----------------------------------------------------------------
 

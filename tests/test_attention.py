@@ -58,10 +58,14 @@ def test_all_masked_rows_uniform():
   assert np.all(np.isfinite(np.asarray(got)))
 
 
-def test_decoder_fused_matches_unfused():
+def test_decoder_fused_matches_unfused(monkeypatch):
   """Model-level parity: fused attention (interpreted) == XLA path."""
   import dataclasses
   from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.models import layers
+  # Tiny test shapes fall below the production dispatch threshold; force
+  # the kernel path so this test actually exercises it.
+  monkeypatch.setattr(layers, "FLASH_MIN_SCORE_BYTES", 0)
   from music_spectrogram_diffusion_tpu.audio import codecs
   from music_spectrogram_diffusion_tpu.models.diffusion import (
       model as model_lib, network)
