@@ -43,6 +43,10 @@ def main():
   p.add_argument("--always_mask_context", action="store_true",
                  help="render every segment without context (ablation)")
   p.add_argument("--seed", type=int, default=0)
+  p.add_argument("--vggish_weights", default=None,
+                 help="converted VGGish .npz (tools/convert_vggish.py); "
+                      "enables VGGish-space FAD (also honours "
+                      "$MSD_VGGISH_WEIGHTS)")
   # Work sharding across independent processes/hosts (the Beam
   # pipeline's shard parallelism): each process takes every
   # num_shards-th song.
@@ -130,6 +134,12 @@ def main():
   print(f"evaluating {len(songs)} songs"
         + (f" (shard {args.shard}/{args.num_shards})"
            if args.num_shards > 1 else ""))
+
+  from music_spectrogram_diffusion_tpu.infer import vggish
+  if vggish.register(args.vggish_weights):
+    print("VGGish embeddings enabled (FAD in VGGish space)")
+  elif args.vggish_weights:
+    p.error(f"VGGish weights not found: {args.vggish_weights}")
 
   voc = vocoder.GriffinLimVocoder(num_iters=16) if args.vocode else None
   synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)

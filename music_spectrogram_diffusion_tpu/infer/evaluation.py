@@ -37,6 +37,10 @@ class SongEval:
   mel_pred: Optional[np.ndarray] = None
   mel_target: Optional[np.ndarray] = None
   audio_pred: Optional[np.ndarray] = None
+  # Per-embedding-space [patches, dim] arrays for population metrics
+  # (Fréchet distance needs ALL songs, computed in `aggregate`).
+  embeddings_target: Optional[Dict[str, np.ndarray]] = None
+  embeddings_pred: Optional[Dict[str, np.ndarray]] = None
 
 
 def group_songs(ds: core.Dataset) -> Dict[str, List[dict]]:
@@ -102,31 +106,74 @@ def evaluate_songs(
       m = metrics_lib.mel_spectral_metrics(target_mel[:n],
                                            render.mel[:n])
       m.update({f"timing/{k}": v for k, v in render.timings.items()})
+      emb_t_all = emb_p_all = None
+      raw_target = (np.concatenate(
+          [np.asarray(s["raw_targets"]) for s in segs
+           if "raw_targets" in s]) if "raw_targets" in segs[0] else None)
       if embedding_fn is not None and render.audio is not None:
-        raw_target = np.concatenate(
-            [np.asarray(s["raw_targets"]) for s in segs
-             if "raw_targets" in s]) if "raw_targets" in segs[0] else None
         if raw_target is not None:
           emb_t = embedding_fn(raw_target)
           emb_p = embedding_fn(render.audio[:len(raw_target)])
           rec = metrics_lib.reconstruction_metrics(
               [{"embeddings": emb_t}], [{"embeddings": emb_p}])
           m.update(rec)
+      if render.audio is not None and raw_target is not None:
+        # Registered embedding models (mel always; vggish when weights
+        # are present — reference postprocessors.py:82-98) feed the
+        # population Fréchet metric computed in `aggregate`.
+        from music_spectrogram_diffusion_tpu.infer import postprocessors
+        emb_t_all = postprocessors.get_embeddings(raw_target)
+        emb_p_all = postprocessors.get_embeddings(
+            render.audio[:len(raw_target)])
       results.append(SongEval(
           song_id=song_id, metrics=m,
           mel_pred=render.mel[:n] if keep_arrays else None,
           mel_target=target_mel[:n] if keep_arrays else None,
-          audio_pred=render.audio if keep_arrays else None))
+          audio_pred=render.audio if keep_arrays else None,
+          embeddings_target=emb_t_all,
+          embeddings_pred=emb_p_all))
   return results
 
 
 def aggregate(results: Sequence[SongEval]) -> Dict[str, float]:
-  """Mean of each metric over songs + example count."""
+  """Mean of each metric over songs + population Fréchet distances.
+
+  Fréchet audio distance per embedding space (reference
+  metrics.py:383-419): streaming mean/covariance over every patch of
+  every song, target population vs prediction population.
+  """
   agg = collections.defaultdict(list)
   for r in results:
     for k, v in r.metrics.items():
       agg[k].append(v)
   out = {k: float(np.mean(v)) for k, v in agg.items()}
+
+  spaces = set()
+  for r in results:
+    if r.embeddings_target and r.embeddings_pred:
+      spaces.update(set(r.embeddings_target) & set(r.embeddings_pred))
+  for space in sorted(spaces):
+    g_t = metrics_lib.StreamingMultivariateGaussian()
+    g_p = metrics_lib.StreamingMultivariateGaussian()
+    per_song_dist = []
+    for r in results:
+      if not (r.embeddings_target and r.embeddings_pred):
+        continue
+      et = np.asarray(r.embeddings_target[space])
+      ep = np.asarray(r.embeddings_pred[space])
+      if et.size == 0 or ep.size == 0:
+        continue
+      g_t.update(et)
+      g_p.update(ep)
+      k = min(len(et), len(ep))
+      per_song_dist.append(
+          metrics_lib.embedding_distance(et[:k], ep[:k]))
+    if g_t.n > 1 and g_p.n > 1:
+      out[f"frechet_audio_distance/{space}"] = float(
+          metrics_lib.frechet_distance(g_t.mu, g_t.sigma,
+                                       g_p.mu, g_p.sigma))
+      out[f"embedding_distance/{space}"] = float(
+          np.mean(per_song_dist))
   out["num_songs"] = len(results)
   return out
 
