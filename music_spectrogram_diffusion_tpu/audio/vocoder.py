@@ -99,6 +99,32 @@ class SoundStreamDecoder(nn.Module):
     return jnp.tanh(x)[..., 0]
 
 
+def load_soundstream(npz_path: str,
+                     base_channels: int = 512):
+  """Converted SoundStream weights (tools/convert_soundstream.py) ->
+  a jitted `[B, T, mel] log-mel -> [B, T*hop] audio` callable.
+
+  The npz holds '<module/path>/<leaf>' arrays matching
+  SoundStreamDecoder's parameter tree.
+  """
+  raw = np.load(npz_path)
+  params: dict = {}
+  for key in raw.files:
+    node = params
+    parts = key.split("/")
+    for part in parts[:-1]:
+      node = node.setdefault(part, {})
+    node[parts[-1]] = jnp.asarray(raw[key])
+  decoder = SoundStreamDecoder(
+      config=SoundStreamConfig(base_channels=base_channels))
+  apply_fn = jax.jit(decoder.apply)
+
+  def vocode(log_mel: Array, rng=None) -> Array:
+    del rng
+    return apply_fn({"params": params}, log_mel)
+  return vocode
+
+
 class GriffinLimVocoder:
   """Weights-free mel inversion: pinv filterbank + Griffin-Lim phase."""
 

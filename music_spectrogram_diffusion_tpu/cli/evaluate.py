@@ -36,6 +36,9 @@ def main():
   p.add_argument("--songs", type=int, default=2)
   p.add_argument("--songs_per_batch", type=int, default=2)
   p.add_argument("--steps", type=int, default=None)
+  p.add_argument("--sampler", default=None, choices=["ddpm", "ddim"],
+                 help="override the sampler family (DDIM keeps quality "
+                      "at far fewer steps; pair with --steps)")
   p.add_argument("--vocode", action="store_true")
   p.add_argument("--output_dir", default=None)
   p.add_argument("--prediction_source", default="model",
@@ -74,16 +77,22 @@ def main():
 
   if args.checkpoint:
     wrapper = inference.InferenceModel(args.checkpoint,
-                                       sampler_steps=args.steps)
+                                       sampler_steps=args.steps,
+                                       sampler_name=args.sampler)
     model, params = wrapper.model, wrapper.params
     experiment, lengths = wrapper.experiment, wrapper.task_lengths
   else:
     experiment = cfg_lib.preset(args.preset)
-    if args.steps:
+    if args.steps or args.sampler:
+      overrides = {}
+      if args.steps:
+        overrides["num_steps"] = args.steps
+      if args.sampler:
+        overrides["name"] = args.sampler
       experiment = dataclasses.replace(
           experiment, diffusion=dataclasses.replace(
               experiment.diffusion, sampler=dataclasses.replace(
-                  experiment.diffusion.sampler, num_steps=args.steps)))
+                  experiment.diffusion.sampler, **overrides)))
     model = inference.build_model(experiment)
     tl = experiment.task_lengths
     lengths = {"inputs": tl.inputs, "targets": tl.targets,

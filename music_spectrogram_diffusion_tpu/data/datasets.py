@@ -70,13 +70,14 @@ def iter_tfrecords(path: str, verify_crc: bool = False) -> Iterator[bytes]:
   when a toolchain is available; otherwise a pure-Python reader.
   """
   from music_spectrogram_diffusion_tpu import native
+  from music_spectrogram_diffusion_tpu.data import remote_io
   native_mod = native.get()
   if native_mod is not None:
-    with open(path, "rb") as f:
+    with remote_io.open_file(path, "rb") as f:
       data = f.read()
     yield from native_mod.split_tfrecords(data, verify_crc)
     return
-  with open(path, "rb") as f:
+  with remote_io.open_file(path, "rb") as f:
     while True:
       header = f.read(8)
       if len(header) < 8:
@@ -264,9 +265,16 @@ def write_tfrecord(path: str, records: Sequence[bytes]) -> None:
 
 def tfrecord_source(filepattern: str,
                     features: Mapping[str, FeatureSpec]) -> core.Dataset:
-  """Dataset over TFRecord shards matching a glob pattern."""
+  """Dataset over TFRecord shards matching a glob pattern.
+
+  Local paths glob directly; gs:// (and registered schemes) go through
+  data/remote_io — so the published GCS paths are readable wherever a
+  gcs backend exists, without a manual mirror.
+  """
+  from music_spectrogram_diffusion_tpu.data import remote_io
+
   def gen():
-    paths = sorted(globlib.glob(filepattern.replace("?????", "*")))
+    paths = sorted(remote_io.glob(filepattern.replace("?????", "*")))
     if not paths:
       raise FileNotFoundError(f"no files match {filepattern}")
     for path in paths:

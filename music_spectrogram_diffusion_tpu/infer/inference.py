@@ -68,12 +68,16 @@ class InferenceModel:
   def __init__(self, checkpoint_path: str,
                experiment: Optional[cfg_lib.ExperimentConfig] = None,
                sampler_steps: Optional[int] = None,
+               sampler_name: Optional[str] = None,
                mesh: Optional[jax.sharding.Mesh] = None):
     """Args:
       checkpoint_path: step_<N> dir (or parent; picks latest).
       experiment: override config (otherwise read from the checkpoint).
       sampler_steps: optionally override the sampler step count (e.g. 50
         for fast drafts vs the reference's 1000).
+      sampler_name: optionally override the sampler family
+        ('ddpm' | 'ddim') — DDIM keeps quality at far fewer steps
+        (reference SamplerConfig, diffusion_utils.py:40-47).
       mesh: optional ('data','model') mesh — params are sharded by the
         logical-axis rules and the batch over 'data' (multi-chip serve).
     """
@@ -84,14 +88,19 @@ class InferenceModel:
             f"{checkpoint_path} has no config.json; pass `experiment`")
       experiment = cfg_lib.ExperimentConfig.from_json(
           restored["config_json"])
-    if sampler_steps is not None:
+    if sampler_steps is not None or sampler_name is not None:
       import dataclasses
+      overrides = {}
+      if sampler_steps is not None:
+        overrides["num_steps"] = sampler_steps
+      if sampler_name is not None:
+        overrides["name"] = sampler_name
       experiment = dataclasses.replace(
           experiment,
           diffusion=dataclasses.replace(
               experiment.diffusion,
               sampler=dataclasses.replace(
-                  experiment.diffusion.sampler, num_steps=sampler_steps)))
+                  experiment.diffusion.sampler, **overrides)))
     self.experiment = experiment
     self.model = build_model(experiment)
     self.params = restored["params"]

@@ -1,5 +1,9 @@
 """AR baseline tests: loss, cached decode vs teacher-forced parity."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -69,3 +69,40 @@ def test_all_dataset_configs_complete():
   assert [t.name for t in datasets.CERBERUS4_CONFIG.track_specs] == [
       "bass", "drums", "guitar", "piano"]
   assert len(datasets.SYNTH_MIXTURE_DATASET_CONFIGS) == 6
+
+
+def test_remote_io_local_and_custom_scheme(tmp_path):
+  """Filesystem registry: local passthrough + custom scheme handler."""
+  from music_spectrogram_diffusion_tpu.data import remote_io
+
+  (tmp_path / "a.txt").write_bytes(b"hello")
+  assert remote_io.glob(str(tmp_path / "*.txt")) == [str(tmp_path / "a.txt")]
+  with remote_io.open_file(str(tmp_path / "a.txt")) as f:
+    assert f.read() == b"hello"
+
+  class FakeFs:
+    def glob(self, pattern):
+      return ["fake://x/1", "fake://x/2"]
+
+    def open(self, path, mode="rb"):
+      import io
+      return io.BytesIO(path.encode())
+
+  remote_io.register_filesystem("fake", FakeFs)
+  try:
+    assert remote_io.glob("fake://x/*") == ["fake://x/1", "fake://x/2"]
+    assert remote_io.open_file("fake://x/1").read() == b"fake://x/1"
+  finally:
+    remote_io._FACTORIES.pop("fake", None)
+    remote_io._INSTANCES.pop("fake", None)
+
+
+def test_remote_io_gs_raises_not_silent():
+  """gs:// access must raise (backend missing or network down), never
+  silently return an empty listing. In network-enabled environments the
+  gcsfs backend serves the published dataset paths directly."""
+  from music_spectrogram_diffusion_tpu.data import remote_io
+  remote_io._INSTANCES.pop("gs", None)
+  import pytest
+  with pytest.raises(Exception):
+    remote_io.glob("gs://magentadata/does/not/matter*")

@@ -1,6 +1,10 @@
 """Coverage for architecture variants: cross-attend styles, position
 encodings, logvar types, DDIM, discrete time."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import dataclasses
 
 import jax

@@ -1,5 +1,9 @@
 """Mesh/sharding + trainer tests on a virtual 8-device CPU mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Full-song renderer + vocoder tests (tiny model, CPU)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,5 +1,9 @@
 """Training loop + checkpoint round trip on the synthetic task (CPU)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import dataclasses
 import glob
 import json

@@ -1,5 +1,9 @@
 """Vocoder reconstruction training: loss decreases on a tiny decoder."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import itertools
 
 import jax
@@ -74,3 +78,35 @@ def test_adversarial_vocoder_training_step():
   # Both generator and discriminator actually updated.
   g1 = jax.tree_util.tree_leaves(state.g_params)[0]
   assert float(jax.numpy.abs(g1 - g0).max()) > 0
+
+
+def test_load_soundstream_roundtrip(tmp_path):
+  """Converter-format npz loads into SoundStreamDecoder and vocodess."""
+  import jax
+  import numpy as np
+  from music_spectrogram_diffusion_tpu.audio import vocoder
+
+  dec = vocoder.SoundStreamDecoder(
+      config=vocoder.SoundStreamConfig(base_channels=64))
+  variables = dec.init(jax.random.PRNGKey(0),
+                       np.zeros((1, 4, 128), np.float32))
+  flat = {}
+
+  def walk(node, prefix):
+    for k, v in node.items():
+      path = f"{prefix}/{k}" if prefix else k
+      if hasattr(v, "items"):
+        walk(v, path)
+      else:
+        flat[path] = np.asarray(v)
+  walk(variables["params"], "")
+  npz = tmp_path / "ss.npz"
+  np.savez(npz, **flat)
+
+  vocode = vocoder.load_soundstream(str(npz), base_channels=64)
+  mel = np.zeros((2, 6, 128), np.float32)
+  audio = vocode(mel)
+  assert audio.shape == (2, 6 * 320)
+  want = dec.apply(variables, mel)
+  np.testing.assert_allclose(np.asarray(audio), np.asarray(want),
+                             atol=1e-6)
