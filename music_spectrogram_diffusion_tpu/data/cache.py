@@ -38,7 +38,14 @@ METADATA_FILE = "CACHE_METADATA.json"
 
 
 def encode_example(example: Dict[str, Any]) -> bytes:
-  """Serialize one example dict to a tf.train.Example record."""
+  """Serialize one example dict to a tf.train.Example record.
+
+  Arrays ride as RAW little-endian bytes (BytesList features) with
+  dtype/shape side entries — decoding is a single np.frombuffer per
+  feature. Int64List/FloatList would decode through a per-element
+  Python varint loop, which measured 10x slower than the mel frontend
+  itself on real cached chunks.
+  """
   features: Dict[str, Any] = {}
   for key, value in example.items():
     if isinstance(value, (bytes, str)):
@@ -50,14 +57,12 @@ def encode_example(example: Dict[str, Any]) -> bytes:
       features[key] = pickle.dumps(value)
       features[_DTYPE + key] = _PICKLE
       continue
+    if arr.dtype.kind not in "fiub":
+      raise TypeError(f"unsupported feature {key!r}: {arr.dtype}")
+    arr = arr.astype(arr.dtype.newbyteorder("<"))
     features[_DTYPE + key] = arr.dtype.str
     features[_SHAPE + key] = np.asarray(arr.shape, np.int64)
-    if arr.dtype.kind == "f":
-      features[key] = arr.reshape(-1).astype(np.float32)
-    elif arr.dtype.kind in "iub":
-      features[key] = arr.reshape(-1).astype(np.int64)
-    else:
-      raise TypeError(f"unsupported feature {key!r}: {arr.dtype}")
+    features[key] = arr.tobytes()
   return datasets.serialize_example(features)
 
 
@@ -77,8 +82,8 @@ def decode_example(record: bytes) -> Dict[str, Any]:
       out[key] = pickle.loads(value[0])
     else:
       shape = tuple(int(x) for x in raw.get(_SHAPE + key, []))
-      arr = np.asarray(value)
-      out[key] = arr.reshape(shape).astype(np.dtype(dtype))
+      out[key] = np.frombuffer(
+          value[0], dtype=np.dtype(dtype)).reshape(shape)
   return out
 
 

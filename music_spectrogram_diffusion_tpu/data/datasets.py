@@ -155,15 +155,17 @@ def parse_example(record: bytes) -> Dict[str, object]:
               v for f, _, v in _parse_protobuf_fields(list_buf) if f == 1]
           out[name] = values
         elif kind == 2:  # FloatList (packed or repeated)
-          floats: List[float] = []
+          chunks: List[np.ndarray] = []
           for f, wire, v in _parse_protobuf_fields(list_buf):
             if f != 1:
               continue
             if wire == 2:  # packed
-              floats.extend(np.frombuffer(v, "<f4").tolist())
+              chunks.append(np.frombuffer(v, "<f4"))
             else:
-              floats.append(struct.unpack("<f", v)[0])
-          out[name] = np.asarray(floats, np.float32)
+              chunks.append(
+                  np.asarray([struct.unpack("<f", v)[0]], np.float32))
+          out[name] = (np.concatenate(chunks).astype(np.float32)
+                       if chunks else np.zeros((0,), np.float32))
         elif kind == 3:  # Int64List
           ints: List[int] = []
           for f, wire, v in _parse_protobuf_fields(list_buf):

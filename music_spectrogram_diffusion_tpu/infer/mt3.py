@@ -1,0 +1,344 @@
+"""MT3 transcription model (audio -> note events), JAX-native.
+
+The reference scores synthesis quality by transcribing the rendered
+audio with MT3 and comparing note F1 to the ground truth
+(reference transcription_inference.py, metrics.py:422-446). It imports
+the external `mt3` package; this module re-implements the MT3
+architecture in this framework so the transcription-metric family works
+end to end once the published checkpoint (gs://mt3/checkpoints/mt3/) is
+mirrored and imported.
+
+Architecture (Gardner et al. 2022, ISMIR; public mt3 repo): a T5.1.1
+encoder-decoder where the encoder consumes log-mel spectrogram frames
+(dense projection, fixed sinusoidal positions) and the decoder emits
+event tokens from the SAME token language this framework already
+implements (midi/event_codec.py, midi/sequences.py — MT3 defined it).
+
+Spectrogram frontend (mt3/spectrograms.py defaults): 16 kHz, hop 128
+(125 frames/s), FFT 2048, 512 HTK mel bins from 20 Hz, log(mel + eps).
+Segments of 256 frames (2.048 s); outputs up to 1024 tokens per segment.
+
+Weight import: the published checkpoint is a standard t5x TensorStore
+dir — `load_mt3_checkpoint` reads it with train/checkpoints.py's reader
+and remaps names into this module tree. Numeric parity should be
+validated against the mt3 package once weights are available (the
+frontend epsilon + mel edges follow the public defaults).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_spectrogram_diffusion_tpu.midi import (event_codec, run_length,
+                                                  sequences, vocabularies)
+from music_spectrogram_diffusion_tpu.models import layers
+from music_spectrogram_diffusion_tpu.ops import stft as stft_ops
+
+Array = jnp.ndarray
+
+# mt3/spectrograms.py defaults.
+SAMPLE_RATE = 16000
+HOP_WIDTH = 128
+NUM_MEL_BINS = 512
+FFT_SIZE = 2048
+MEL_LO_HZ = 20.0
+SPEC_LOG_EPS = 1e-6
+FRAMES_PER_SECOND = SAMPLE_RATE // HOP_WIDTH  # 125
+
+INPUT_FRAMES = 256  # 2.048 s segments (mt3 gin inputs length)
+MAX_OUTPUT_TOKENS = 1024
+
+
+def spectrogram(audio: np.ndarray) -> np.ndarray:
+  """[n_samples] -> [ceil(n/hop), 512] log-mel (mt3 frontend)."""
+  mag = np.asarray(stft_ops.stft_magnitude(
+      jnp.asarray(np.asarray(audio, np.float32))[None],
+      frame_length=FFT_SIZE, frame_step=HOP_WIDTH, fft_length=FFT_SIZE,
+      pad_end=True))[0]
+  mel_mat = stft_ops.linear_to_mel_matrix(
+      num_mel_bins=NUM_MEL_BINS, num_spectrogram_bins=FFT_SIZE // 2 + 1,
+      sample_rate=SAMPLE_RATE, lower_edge_hertz=MEL_LO_HZ,
+      upper_edge_hertz=SAMPLE_RATE / 2.0)
+  return np.log(mag @ mel_mat + SPEC_LOG_EPS).astype(np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class MT3Config:
+  """T5.1.1-small geometry (the published MT3 checkpoint's size)."""
+  vocab_size: int
+  dtype: Any = jnp.float32
+  emb_dim: int = 512
+  num_heads: int = 6
+  num_encoder_layers: int = 8
+  num_decoder_layers: int = 8
+  head_dim: int = 64
+  mlp_dim: int = 1024
+  mlp_activations: Sequence[str] = ("gelu", "linear")
+  dropout_rate: float = 0.0
+  input_depth: int = NUM_MEL_BINS
+
+
+class MT3Encoder(nn.Module):
+  """Spectrogram-frame encoder."""
+  config: MT3Config
+
+  @nn.compact
+  def __call__(self, spec_frames: Array, mask: Array,
+               deterministic: bool = True) -> Array:
+    cfg = self.config
+    from music_spectrogram_diffusion_tpu.models.autoregressive import (
+        network as ar_net)
+    ar_cfg = ar_net.ARConfig(
+        vocab_size=cfg.vocab_size, dtype=cfg.dtype, emb_dim=cfg.emb_dim,
+        num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+        mlp_dim=cfg.mlp_dim, mlp_activations=cfg.mlp_activations,
+        dropout_rate=cfg.dropout_rate)
+    seq_length = spec_frames.shape[1]
+    positions = jnp.arange(seq_length)[None, :]
+    x = layers.DenseGeneral(
+        cfg.emb_dim, dtype=cfg.dtype, kernel_axes=("vocab", "embed"),
+        name="input_proj")(spec_frames)
+    x = x + layers.FixedEmbed(features=cfg.emb_dim,
+                              name="position_embedder")(positions)
+    x = x.astype(cfg.dtype)
+    attn_mask = layers.make_attention_mask(mask, mask, dtype=cfg.dtype)
+    for lyr in range(cfg.num_encoder_layers):
+      x = ar_net.EncoderLayer(config=ar_cfg, name=f"layers_{lyr}")(
+          x, attn_mask, deterministic)
+    return layers.RMSNorm(dtype=cfg.dtype, name="encoder_norm")(x)
+
+
+class MT3Decoder(nn.Module):
+  """Token decoder with decode cache; separate logits head (T5.1.1)."""
+  config: MT3Config
+
+  @nn.compact
+  def __call__(self, encoded: Array, decoder_input_tokens: Array,
+               decoder_mask: Optional[Array],
+               encoder_decoder_mask: Optional[Array],
+               deterministic: bool = True, decode: bool = False) -> Array:
+    cfg = self.config
+    from music_spectrogram_diffusion_tpu.models.autoregressive import (
+        network as ar_net)
+    ar_cfg = ar_net.ARConfig(
+        vocab_size=cfg.vocab_size, dtype=cfg.dtype, emb_dim=cfg.emb_dim,
+        num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+        mlp_dim=cfg.mlp_dim, mlp_activations=cfg.mlp_activations,
+        dropout_rate=cfg.dropout_rate)
+    seq_length = decoder_input_tokens.shape[1]
+    positions = jnp.arange(seq_length)[None, :]
+    y = layers.Embed(
+        num_embeddings=cfg.vocab_size, features=cfg.emb_dim,
+        dtype=cfg.dtype, embedding_init=nn.initializers.normal(stddev=1.0),
+        one_hot=True, name="token_embedder")(
+            decoder_input_tokens.astype("int32"))
+    y = y + layers.FixedEmbed(features=cfg.emb_dim,
+                              name="position_embedder")(
+                                  positions, decode=decode)
+    y = y.astype(cfg.dtype)
+    for lyr in range(cfg.num_decoder_layers):
+      y = ar_net.DecoderLayer(config=ar_cfg, name=f"layers_{lyr}")(
+          y, encoded, decoder_mask=decoder_mask,
+          encoder_decoder_mask=encoder_decoder_mask,
+          deterministic=deterministic, decode=decode)
+    y = layers.RMSNorm(dtype=cfg.dtype, name="decoder_norm")(y)
+    return layers.DenseGeneral(
+        cfg.vocab_size, dtype=jnp.float32, kernel_axes=("embed", "vocab"),
+        name="logits_dense")(y)
+
+
+class MT3Transformer(nn.Module):
+  config: MT3Config
+
+  def setup(self):
+    self.encoder = MT3Encoder(config=self.config, name="encoder")
+    self.decoder = MT3Decoder(config=self.config, name="decoder")
+
+  def encode(self, spec_frames: Array, frames_mask: Array) -> Array:
+    return self.encoder(spec_frames, frames_mask, deterministic=True)
+
+  def decode_step(self, encoded: Array, frames_mask: Array,
+                  token: Array) -> Array:
+    """One cached decode step; token [batch, 1] -> logits [batch, 1, V]."""
+    cfg = self.config
+    encoder_decoder_mask = layers.make_attention_mask(
+        jnp.ones((token.shape[0], 1)), frames_mask, dtype=cfg.dtype)
+    return self.decoder(
+        encoded, token, decoder_mask=None,
+        encoder_decoder_mask=encoder_decoder_mask,
+        deterministic=True, decode=True)
+
+  def __call__(self, spec_frames: Array, frames_mask: Array,
+               decoder_input_tokens: Array,
+               decoder_target_tokens: Array) -> Array:
+    """Teacher-forced logits (training/parity checks)."""
+    cfg = self.config
+    encoded = self.encode(spec_frames, frames_mask)
+    decoder_mask = layers.make_decoder_mask(
+        decoder_target_tokens=(decoder_target_tokens > 0).astype(
+            jnp.float32), dtype=cfg.dtype)
+    encoder_decoder_mask = layers.make_attention_mask(
+        jnp.ones(decoder_input_tokens.shape[:2]), frames_mask,
+        dtype=cfg.dtype)
+    return self.decoder(
+        encoded, decoder_input_tokens, decoder_mask=decoder_mask,
+        encoder_decoder_mask=encoder_decoder_mask, deterministic=True)
+
+
+def greedy_decode(module: MT3Transformer, params, spec_frames: Array,
+                  frames_mask: Array,
+                  max_tokens: int = MAX_OUTPUT_TOKENS,
+                  eos_id: int = 1) -> Array:
+  """Greedy token decoding as one lax.scan carrying the flax cache."""
+  batch = spec_frames.shape[0]
+  encoded = module.apply({"params": params}, spec_frames, frames_mask,
+                         method=module.encode)
+
+  # The flax decode caches size themselves from the first decode=True
+  # call's sequence length — allocate with a full-length dummy pass.
+  init_tokens = jnp.zeros((batch, max_tokens), jnp.int32)
+  _, cache_vars = module.apply(
+      {"params": params}, encoded, frames_mask, init_tokens,
+      mutable=["cache"], method=_preallocate_cache)
+
+  def step(carry, _):
+    token, cache = carry
+    logits, updated = module.apply(
+        {"params": params, "cache": cache}, encoded, frames_mask, token,
+        mutable=["cache"], method=module.decode_step)
+    next_token = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+    return (next_token[:, None], updated["cache"]), next_token
+
+  start = jnp.zeros((batch, 1), jnp.int32)  # BOS = 0 (pad), like t5x
+  (_, _), tokens = jax.lax.scan(
+      step, (start, cache_vars["cache"]), None, length=max_tokens)
+  tokens = jnp.transpose(tokens)  # [batch, max_tokens]
+
+  # Zero out everything after the first EOS.
+  after_eos = jnp.cumsum((tokens == eos_id).astype(jnp.int32), axis=1)
+  keep = (after_eos - (tokens == eos_id).astype(jnp.int32)) == 0
+  return jnp.where(keep, tokens, 0)
+
+
+def _preallocate_cache(module: MT3Transformer, encoded: Array,
+                       frames_mask: Array, tokens: Array) -> Array:
+  """Trace a full-length decode=True pass to allocate the cache."""
+  cfg = module.config
+  encoder_decoder_mask = layers.make_attention_mask(
+      jnp.ones(tokens.shape[:2]), frames_mask, dtype=cfg.dtype)
+  return module.decoder(
+      encoded, tokens, decoder_mask=None,
+      encoder_decoder_mask=encoder_decoder_mask,
+      deterministic=True, decode=True)
+
+
+class MT3Transcriber:
+  """audio [n_samples] @16 kHz -> NoteSequence.
+
+  Splits audio into 256-frame segments, greedily decodes event tokens
+  per segment, then decodes tokens to notes with the shared state
+  machine (reference transcription_inference.py:157-233 structure).
+  """
+
+  def __init__(self, params,
+               vocab_config: Optional[
+                   vocabularies.VocabularyConfig] = None,
+               max_tokens: int = MAX_OUTPUT_TOKENS):
+    self.vocab_config = vocab_config or vocabularies.VocabularyConfig(
+        num_velocity_bins=1)
+    self.codec = vocabularies.build_codec(self.vocab_config)
+    self.vocabulary = vocabularies.vocabulary_from_codec(self.codec)
+    vocab_size = 128 * -(-self.vocabulary.vocab_size // 128)
+    self.module = MT3Transformer(config=MT3Config(vocab_size=vocab_size))
+    self.params = params
+    self.max_tokens = max_tokens
+    self._decode = jax.jit(functools.partial(
+        greedy_decode, self.module, max_tokens=max_tokens))
+
+  def __call__(self, audio: np.ndarray) -> sequences.NoteSequence:
+    spec = spectrogram(audio)
+    n_frames = len(spec)
+    n_segments = max(1, -(-n_frames // INPUT_FRAMES))
+    pad = n_segments * INPUT_FRAMES - n_frames
+    spec = np.pad(spec, ((0, pad), (0, 0)))
+    segs = spec.reshape(n_segments, INPUT_FRAMES, NUM_MEL_BINS)
+    mask = (np.arange(n_segments * INPUT_FRAMES).reshape(
+        n_segments, INPUT_FRAMES) < n_frames)
+
+    tokens = np.asarray(self._decode(
+        self.params, jnp.asarray(segs), jnp.asarray(mask)))
+
+    # Decode each segment's tokens at its absolute start time through
+    # the shared note state machine (it spans segment boundaries).
+    state = sequences.NoteDecodingState()
+    for i in range(n_segments):
+      start_time = i * INPUT_FRAMES / FRAMES_PER_SECOND
+      codec_ids = self.vocabulary.decode(tokens[i])
+      codec_ids = codec_ids[codec_ids >= 0]  # drop EOS/invalid/pad
+      run_length.decode_events(
+          state=state,
+          tokens=np.asarray(codec_ids, np.int32),
+          start_time=start_time,
+          max_time=None,
+          codec=self.codec,
+          decode_event_fn=sequences.decode_note_event)
+    return sequences.flush_note_decoding_state(state)
+
+
+# Reference t5x/mt3 module names -> this module tree. The mt3 network is
+# the standard t5x T5 with a continuous-input encoder; its param names
+# follow t5x network.py. Completed/validated against the real
+# checkpoint's tree when it is mirrored (tools: train/checkpoints.py
+# load_t5x_checkpoint prints unmapped names).
+_MT3_RENAMES = [
+    (r"pre_attention_layer_norm", "pre_attention_norm"),
+    (r"pre_self_attention_layer_norm", "pre_self_attention_norm"),
+    (r"pre_cross_attention_layer_norm", "pre_cross_attention_norm"),
+    (r"pre_mlp_layer_norm", "pre_mlp_norm"),
+    (r"\battention\b", "attention"),
+    (r"continuous_inputs_projection", "input_proj"),
+]
+
+
+def load_mt3_checkpoint(path: str):
+  """Read the published MT3 t5x checkpoint and remap into MT3Transformer.
+
+  Reuses the TensorStore reader from train/checkpoints.py; returns the
+  remapped parameter tree. Structural validation happens on first
+  module.apply (flax raises on any mismatch).
+  """
+  import re
+
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+  params = checkpoints.load_t5x_checkpoint(path)
+
+  def rename(k: str) -> str:
+    for pat, rep in _MT3_RENAMES:
+      k = re.sub(pat, rep, k)
+    return k
+
+  flat = checkpoints._flatten(params)
+  return checkpoints._unflatten({rename(k): v for k, v in flat.items()})
+
+
+def register(checkpoint_path: Optional[str] = None,
+             params=None) -> bool:
+  """Install MT3 as the transcription plug-in (infer/transcription.py).
+
+  Pass a t5x checkpoint path or an already-loaded param tree. Returns
+  True when registered.
+  """
+  from music_spectrogram_diffusion_tpu.infer import transcription
+  if params is None:
+    if not checkpoint_path:
+      return False
+    params = load_mt3_checkpoint(checkpoint_path)
+  transcription.register_transcriber(MT3Transcriber(params))
+  return True
