@@ -28,8 +28,18 @@ def main():
   p.add_argument("--repeats", type=int, default=3)
   p.add_argument("--dtype", default="float32",
                  choices=["float32", "bfloat16"],
-                 help="network compute dtype (params/sampler state stay "
-                      "f32 either way)")
+                 help="network compute dtype (sampler z/x0 state and the "
+                      "final spectrogram projection stay f32 either way "
+                      "— the precision split the reference found "
+                      "necessary, diffusion_utils.py:461). Measured "
+                      "perf-neutral at 1000 steps on v5e (XLA's f32 "
+                      "matmuls already use bf16 MXU passes); bf16 halves "
+                      "serving HBM instead")
+  p.add_argument("--param_dtype", default=None,
+                 choices=["float32", "bfloat16"],
+                 help="stored-param dtype before the sampler loop (the "
+                      "sampler streams the full param tree from HBM "
+                      "every step; defaults to --dtype)")
   p.add_argument("--fused_attention", action=argparse.BooleanOptionalAction,
                  default=True,
                  help="adaptive Pallas flash attention (default on; the "
@@ -43,6 +53,10 @@ def main():
                  help="measure a realistic full-song render (real token "
                       "lengths + input bucketing + segment chaining) "
                       "instead of the worst-case single segment")
+  p.add_argument("--train", action="store_true",
+                 help="measure training throughput (steps/s and "
+                      "target-frames/s, the reference's train metrics — "
+                      "reference metrics.py:63-78) instead of synthesis")
   args = p.parse_args()
 
   size = args.size or ("small" if args.quick else "base")
@@ -62,6 +76,9 @@ def main():
       model as model_lib, network)
   from music_spectrogram_diffusion_tpu.ops import diffusion as dops
 
+  if args.train:
+    _train_bench(size, args)
+    return
   if args.typical:
     _typical_song_bench(size, num_steps, args)
     return
@@ -100,6 +117,10 @@ def main():
       k, {k2: v.shape for k2, v in batch.items()},
       {k2: v.dtype for k2, v in batch.items()}))(jax.random.PRNGKey(0))
   params = variables["params"]
+  param_dtype = args.param_dtype or args.dtype
+  if param_dtype == "bfloat16":
+    from music_spectrogram_diffusion_tpu.infer import inference
+    params = jax.jit(inference.cast_params_bf16)(params)
   sync(jax.tree_util.tree_leaves(params)[0])
   init_s = time.time() - t0
 
@@ -134,6 +155,85 @@ def main():
         f"init={init_s:.1f}s compile={compile_s:.1f}s "
         f"platform={jax.devices()[0].platform}", file=sys.stderr)
   assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _train_bench(size, args):
+  """Training throughput: steps/s + target-frames/s on the live mesh.
+
+  Reference train metrics are seqs/sec and target-frames/sec per core
+  (reference metrics.py:63-78); the reference publishes no values, so
+  vs_baseline is null. Runs the real Trainer train_step (Adafactor,
+  dropout 0.1, remat + fused attention) on synthetic worst-case shapes.
+  """
+  import jax
+  import numpy as np
+
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.models.diffusion import (
+      model as model_lib, network)
+  from music_spectrogram_diffusion_tpu.ops import diffusion as dops
+  from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
+  from music_spectrogram_diffusion_tpu.train import trainer as trainer_lib
+
+  B = args.batch if args.batch != 1 else 16  # batch 1 is a synthesis default
+  net_cfg = cfg_lib.network_config(
+      size, with_context=True, dropout_rate=0.1, dtype=args.dtype,
+      use_fused_attention=args.fused_attention, remat=True)
+  module = network.ContextTransformer(config=net_cfg)
+  codec = codecs.MelGan()
+  model = model_lib.ContextDiffusionModel(
+      module, dops.DiffusionConfig(), codec)
+  mesh = mesh_lib.make_mesh()
+  trainer = trainer_lib.Trainer(
+      model=model, train_cfg=cfg_lib.TrainConfig(batch_size=B), mesh=mesh)
+
+  L_IN, L_CTX, L_TGT, D = 2048, 256, 256, codec.n_dims
+  r = np.random.RandomState(0)
+  import jax.numpy as jnp
+  batch = {
+      "encoder_input_tokens": jnp.asarray(
+          r.randint(1, 1000, (B, L_IN)), jnp.int32),
+      "encoder_continuous_inputs": jnp.asarray(
+          r.randn(B, L_CTX, D).astype(np.float32)),
+      "encoder_continuous_mask": jnp.ones((B, L_CTX), bool),
+      "decoder_target_tokens": jnp.asarray(
+          r.randn(B, L_TGT, D).astype(np.float32)),
+      "decoder_target_mask": jnp.ones((B, L_TGT), bool),
+  }
+  shapes = {k: v.shape for k, v in batch.items()}
+  types = {k: v.dtype for k, v in batch.items()}
+  state = trainer.create_state(jax.random.PRNGKey(0), shapes, types)
+  batch = trainer.shard_batch(batch)
+
+  def sync(x):
+    return float(np.asarray(jax.numpy.sum(x)))
+
+  rng = jax.random.PRNGKey(1)
+  t0 = time.time()
+  state, metrics = trainer.train_step(state, batch, rng)
+  sync(metrics["loss"])
+  compile_s = time.time() - t0
+
+  times = []
+  for _ in range(args.repeats):
+    t0 = time.time()
+    for _ in range(5):
+      state, metrics = trainer.train_step(state, batch, rng)
+    sync(metrics["loss"])
+    times.append((time.time() - t0) / 5)
+  wall = float(np.median(times))
+
+  print(json.dumps({
+      "metric": "train_target_frames_per_second",
+      "value": round(B * L_TGT / wall, 1),
+      "unit": "frames_per_second",
+      "vs_baseline": None,
+  }))
+  print(f"# train size={size} batch={B} dtype={args.dtype} "
+        f"step={wall*1000:.1f}ms steps/s={1/wall:.2f} "
+        f"seqs/s={B/wall:.1f} compile={compile_s:.1f}s "
+        f"devices={len(jax.devices())}", file=sys.stderr)
 
 
 def _typical_song_bench(size, num_steps, args):
@@ -172,6 +272,9 @@ def _typical_song_bench(size, num_steps, args):
            "encoder_continuous_mask": jnp.bool_}
   params = jax.jit(lambda k: model.init_variables(
       k, batch_shapes, types))(jax.random.PRNGKey(0))["params"]
+  if (args.param_dtype or args.dtype) == "bfloat16":
+    from music_spectrogram_diffusion_tpu.infer import inference
+    params = jax.jit(inference.cast_params_bf16)(params)
 
   ns = synthetic.random_note_sequence(
       np.random.RandomState(0), duration=30.0, notes_per_second=8.0)

@@ -50,6 +50,10 @@ def main():
                  help="converted VGGish .npz (tools/convert_vggish.py); "
                       "enables VGGish-space FAD (also honours "
                       "$MSD_VGGISH_WEIGHTS)")
+  p.add_argument("--trill_weights", default=None,
+                 help="converted TRILL .npz (tools/convert_trill.py); "
+                      "enables TRILL-space FAD (also honours "
+                      "$MSD_TRILL_WEIGHTS)")
   # Work sharding across independent processes/hosts (the Beam
   # pipeline's shard parallelism): each process takes every
   # num_shards-th song.
@@ -144,11 +148,15 @@ def main():
         + (f" (shard {args.shard}/{args.num_shards})"
            if args.num_shards > 1 else ""))
 
-  from music_spectrogram_diffusion_tpu.infer import vggish
+  from music_spectrogram_diffusion_tpu.infer import trill, vggish
   if vggish.register(args.vggish_weights):
     print("VGGish embeddings enabled (FAD in VGGish space)")
   elif args.vggish_weights:
     p.error(f"VGGish weights not found: {args.vggish_weights}")
+  if trill.register(args.trill_weights):
+    print("TRILL embeddings enabled (FAD in TRILL space)")
+  elif args.trill_weights:
+    p.error(f"TRILL weights not found: {args.trill_weights}")
 
   voc = vocoder.GriffinLimVocoder(num_iters=16) if args.vocode else None
   synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)

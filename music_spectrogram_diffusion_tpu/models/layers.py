@@ -251,8 +251,10 @@ class MultiHeadAttention(nn.Module):
   kernel_init: Initializer = nn.initializers.variance_scaling(
       1.0, "fan_in", "normal")
   float32_logits: bool = False
-  # Use the Pallas fused-attention kernel (ops/attention.py). Only takes
-  # effect when attention dropout is inactive (the kernel has no dropout).
+  # Use the Pallas fused-attention kernel (ops/attention.py) when the
+  # score tensor is large enough to beat XLA (both inference and — via
+  # its custom VJP — training; per-key broadcast dropout folds into a
+  # value-row scale).
   use_fused_attention: bool = False
 
   def setup(self):
@@ -313,16 +315,31 @@ class MultiHeadAttention(nn.Module):
           attention_bias + bias)
 
     dropout_active = not deterministic and self.dropout_rate > 0.0
-    # The kernel has no backward rule (inference-only); train steps
-    # (deterministic=False) always take the differentiable XLA path.
-    if self.use_fused_attention and deterministic:
+    if self.use_fused_attention:
       batch, q_len = query.shape[0], query.shape[1]
       kv_len = key.shape[2]  # fused layout [b, h, kv, d]
       score_bytes = 4 * batch * self.num_heads * q_len * kv_len
       if score_bytes >= FLASH_MIN_SCORE_BYTES:
         from music_spectrogram_diffusion_tpu.ops import attention as fused
-        x = fused.flash_attention(query, key, value, attention_bias,
-                                  kv_mask=kv_mask, kv_transposed=True)
+        if deterministic:
+          x = fused.flash_attention(query, key, value, attention_bias,
+                                    kv_mask=kv_mask, kv_transposed=True)
+        else:
+          # Train path: custom-VJP kernel (fused backward, scores never
+          # in HBM). T5 attention dropout broadcasts along q (per-key),
+          # so it folds into a value-row scale — the kernel's softmax
+          # normalization uses the undropped probabilities either way.
+          # Same keep-mask shape/rng as the XLA path below.
+          val = value
+          if dropout_active:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout_rate,
+                (batch, self.num_heads, 1, kv_len))
+            scale = keep.astype(self.dtype) / (1.0 - self.dropout_rate)
+            val = value * jnp.swapaxes(scale, -1, -2)  # [b, h, kv, 1]
+          x = fused.flash_attention_diff(query, key, val, attention_bias,
+                                         kv_mask=kv_mask,
+                                         kv_transposed=True)
         return self.out_proj(x.astype(self.dtype))
     if kv_mask is not None:
       km_bias = mask_to_bias(kv_mask[:, None, None, :], self.dtype)

@@ -157,6 +157,168 @@ def test_flash_bias_and_mask_combined():
                              rtol=1e-5, atol=1e-5)
 
 
+def _flash_diff_grads(q, k, v, bias=None, kv_mask=None, **kw):
+  def loss(q, k, v):
+    out = attention.flash_attention_diff(
+        q, k, v, bias, kv_mask, interpret=True, mxu_bf16=False, **kw)
+    w = jnp.cos(jnp.arange(out.size).reshape(out.shape))
+    return jnp.sum(out * w)
+  return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+def _reference_grads(q, k, v, bias=None, kv_mask=None):
+  def loss(q, k, v):
+    out = attention.attention_reference(q, k, v, bias, kv_mask)
+    w = jnp.cos(jnp.arange(out.size).reshape(out.shape))
+    return jnp.sum(out * w)
+  return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+def _assert_grads_close(got, want, tol=1e-4):
+  for g, w, name in zip(got, want, "qkv"):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=tol,
+                               atol=tol, err_msg=f"d{name} mismatch")
+
+
+def test_flash_vjp_no_bias():
+  q, k, v = make_qkv(seed=20)
+  _assert_grads_close(_flash_diff_grads(q, k, v),
+                      _reference_grads(q, k, v))
+
+
+def test_flash_vjp_kv_mask_unaligned():
+  """Grad parity with a kv mask and kv not a multiple of the block."""
+  q, k, v = make_qkv(b=2, q=12, kv=200, h=2, seed=21)
+  kv_mask = jnp.asarray(np.arange(200)[None, :] % 3 != 0)
+  _assert_grads_close(_flash_diff_grads(q, k, v, kv_mask=kv_mask,
+                                        kv_block_size=128),
+                      _reference_grads(q, k, v, kv_mask=kv_mask))
+
+
+def test_flash_vjp_mask_bias():
+  """Mask-derived bias: dq/dk/dv match (bias itself is non-diff)."""
+  q, k, v = make_qkv(seed=22)
+  mask = np.ones((q.shape[0], 1, q.shape[1], k.shape[1]), np.float32)
+  mask[:, :, :, k.shape[1] // 2:] = 0
+  bias = jnp.asarray(np.where(mask > 0, 0.0, -1e10).astype(np.float32))
+  _assert_grads_close(_flash_diff_grads(q, k, v, bias=bias),
+                      _reference_grads(q, k, v, bias=bias))
+
+
+def test_flash_vjp_multi_kv_blocks_and_head_groups():
+  """dq accumulation across kv blocks x G=2 head grouping."""
+  q, k, v = make_qkv(b=2, q=16, kv=640, h=4, seed=23)
+  _assert_grads_close(
+      _flash_diff_grads(q, k, v, kv_block_size=256, head_block_size=2),
+      _reference_grads(q, k, v))
+
+
+def test_flash_vjp_value_scale_dropout_identity():
+  """Per-key dropout folded as a value-row scale == weight dropout.
+
+  T5 attention dropout broadcasts along q, so scaling value rows by
+  keep/(1-rate) BEFORE attention must equal multiplying the normalized
+  weights by the same factor after softmax (the layers.py train path
+  relies on this)."""
+  q, k, v = make_qkv(b=1, q=8, kv=32, h=2, seed=24)
+  r = np.random.RandomState(25)
+  keep = (r.rand(1, 32) > 0.5).astype(np.float32) / 0.5  # [b, kv]
+  v_scaled = v * jnp.asarray(keep)[:, :, None, None]
+  got = attention.flash_attention_diff(q, k, v_scaled, interpret=True,
+                                       mxu_bf16=False)
+  # Oracle: scale the normalized weights.
+  wts = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q, k))
+  wts = wts * jnp.asarray(keep)[:, None, None, :]
+  want = jnp.einsum("bhqk,bkhd->bqhd", wts, v)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_train_loss_grads_fused_matches_unfused(monkeypatch):
+  """Model-level: d(loss)/d(params) via the fused train path == XLA."""
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.models import layers
+  monkeypatch.setattr(layers, "FLASH_MIN_SCORE_BYTES", 0)
+  # f32 MXU passes so the XLA-path grads are comparable at tight
+  # tolerance (the default bf16 passes round logits at the 1e-2 level).
+  monkeypatch.setattr(attention, "DEFAULT_MXU_BF16", False)
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.models.diffusion import (
+      model as model_lib, network)
+  from music_spectrogram_diffusion_tpu.ops import diffusion as dops
+
+  def build(fused):
+    net_cfg = cfg_lib.network_config(
+        "tiny", with_context=True, vocab_size=256, dropout_rate=0.0,
+        use_fused_attention=fused)
+    module = network.ContextTransformer(config=net_cfg)
+    return model_lib.ContextDiffusionModel(
+        module, dops.DiffusionConfig(), codecs.MelGan())
+
+  r = np.random.RandomState(0)
+  batch = {
+      "encoder_input_tokens": jnp.asarray(
+          r.randint(1, 200, (2, 16)), jnp.int32),
+      "encoder_continuous_inputs": jnp.asarray(
+          r.randn(2, 8, 128).astype(np.float32)),
+      "encoder_continuous_mask": jnp.asarray(
+          np.array([[1] * 8, [1, 1, 1, 1, 0, 0, 0, 0]], bool)),
+      "decoder_target_tokens": jnp.asarray(
+          r.randn(2, 8, 128).astype(np.float32)),
+      "decoder_target_mask": jnp.ones((2, 8), bool),
+  }
+  m_ref = build(False)
+  params = m_ref.init_variables(
+      jax.random.PRNGKey(0), {k: v.shape for k, v in batch.items()},
+      {k: v.dtype for k, v in batch.items()})["params"]
+  m_fused = build(True)
+
+  def loss_of(m):
+    return lambda p: m.loss_fn(p, batch, jax.random.PRNGKey(7))[0]
+
+  g_ref = jax.grad(loss_of(m_ref))(params)
+  g_fused = jax.grad(loss_of(m_fused))(params)
+  flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+  flat_fused = dict(
+      (jax.tree_util.keystr(kp), x)
+      for kp, x in jax.tree_util.tree_leaves_with_path(g_fused))
+  for kp, want in flat_ref:
+    got = flat_fused[jax.tree_util.keystr(kp)]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-3,
+        err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}")
+
+
+def test_flash_keeps_mesh_shardings():
+  """Under GSPMD, the kernel must shard over (batch, heads) — no
+  all-gather of the batch around the pallas call (custom_partitioning
+  rules in ops/attention.py). Forward AND backward."""
+  from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+  mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+  q, k, v = make_qkv(b=8, q=16, kv=128, h=4, seed=30)
+  sh = NamedSharding(mesh, P("data", None, "model", None))
+  q, k, v = (jax.device_put(x, sh) for x in (q, k, v))
+
+  out = jax.jit(lambda a, b, c: attention.flash_attention_diff(
+      a, b, c, interpret=True, mxu_bf16=False))(q, k, v)
+  assert out.sharding.spec == P("data", None, "model"), out.sharding
+  np.testing.assert_allclose(
+      np.asarray(out), np.asarray(attention.attention_reference(q, k, v)),
+      rtol=1e-5, atol=1e-5)
+
+  grads = jax.jit(jax.grad(
+      lambda a, b, c: attention.flash_attention_diff(
+          a, b, c, interpret=True, mxu_bf16=False).sum(),
+      argnums=(0, 1, 2)))(q, k, v)
+  want = jax.grad(
+      lambda a, b, c: attention.attention_reference(a, b, c).sum(),
+      argnums=(0, 1, 2))(q, k, v)
+  for g, w in zip(grads, want):
+    assert g.sharding.spec == P("data", None, "model"), g.sharding
+    np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fused_bf16_mxu_close():
   """Default (bf16 MXU passes) stays within bf16-level error of f32."""
   q, k, v = make_qkv(seed=7)
