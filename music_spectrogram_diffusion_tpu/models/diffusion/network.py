@@ -122,16 +122,20 @@ class EncoderLayer(nn.Module):
   def __call__(self, inputs: Array, mask: Array,
                deterministic: bool) -> Array:
     cfg = self.config
-    attn_mask = layers.make_attention_mask(mask, mask, dtype=cfg.dtype)
 
     x = layers.RMSNorm(dtype=cfg.dtype, name="pre_attention_norm")(inputs)
-    # Encoders keep the XLA attention path: they run once per segment
-    # (the fused kernel's payoff is in the 1000x-repeated decoder).
+    # Padding masks are row-constant, so the self-attention mask rides
+    # as a [b, len] kv vector instead of a [b, 1, len, len] bias (the
+    # bias is score-sized: 16 MB/example at 2048 tokens — it dominated
+    # encoder HBM traffic in training). Padded QUERY rows now attend
+    # the valid keys instead of being fully masked; their outputs are
+    # garbage either way and every consumer masks encoder keys.
     x = layers.MultiHeadAttention(
         num_heads=cfg.num_heads, head_dim=cfg.head_dim,
         out_features=cfg.emb_dim, dtype=cfg.dtype,
-        dropout_rate=cfg.dropout_rate, name="attention")(
-            x, x, attn_mask, deterministic=deterministic)
+        dropout_rate=cfg.dropout_rate,
+        use_fused_attention=cfg.use_fused_attention, name="attention")(
+            x, x, kv_mask=(mask > 0), deterministic=deterministic)
     x = nn.Dropout(rate=cfg.dropout_rate, broadcast_dims=(-2,))(
         x, deterministic=deterministic)
     x = x + inputs

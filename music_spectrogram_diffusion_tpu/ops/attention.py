@@ -42,6 +42,10 @@ DEFAULT_HEAD_BLOCK_SIZE: Optional[int] = None
 # MXU input dtype when callers don't pass mxu_bf16 explicitly (tests
 # force f32 to compare against the XLA oracle at tight tolerance).
 DEFAULT_MXU_BF16: bool = True
+# Per-tile VMEM sizing budget for tiling choices (the Mosaic scoped
+# limit is raised to _VMEM_LIMIT_BYTES as headroom; v5e has 128 MB).
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 48 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -76,6 +80,15 @@ def _tiling(q_len: int, num_heads: int, head_dim: int, kv_len: int,
     # Whole-kv blocks measured fastest at this model's geometry
     # (q<=256, kv<=2.5k) as long as the score tile fits the budget.
     kv_block_size = kv_all if 4 * q_pad * kv_all <= 4 * 1024 * 1024 else 1024
+    # Large q (e.g. 2048-token encoder self-attention in training):
+    # shrink the kv block until even a G=1 BACKWARD tile — ~3 score-
+    # sized f32 tiles (s, ds, dp) + q/do/dq + k/v/dk/dv — fits the
+    # scoped-VMEM budget. The forward needs strictly less.
+    while kv_block_size > 128 and 4 * (
+        3 * q_pad * kv_block_size
+        + 8 * q_pad * head_dim
+        + 6 * kv_block_size * head_dim) > _VMEM_BUDGET_BYTES:
+      kv_block_size //= 2
   kv_blk = min(kv_block_size, kv_all)
   kv_pad = _round_up(kv_len, kv_blk)
   num_kv_blocks = kv_pad // kv_blk
@@ -86,7 +99,7 @@ def _tiling(q_len: int, num_heads: int, head_dim: int, kv_len: int,
     # ~12 MB of VMEM. Measured on v5e (base model in the sampler scan):
     # G=2 with a whole-kv block gave 847.9 ms vs 1178 ms for G=1 at CFG
     # batch 8 cross-attention.
-    budget = 12 * 1024 * 1024
+    budget = _VMEM_BUDGET_BYTES
     head_block_size = 1
     for g in range(num_heads, 0, -1):
       if num_heads % g != 0:
@@ -106,21 +119,28 @@ def _tiling(q_len: int, num_heads: int, head_dim: int, kv_len: int,
 
 
 def _pick_head_group(num_heads: int, q_pad: int, kv_blk: int,
-                     head_dim: int, requested: Optional[int]) -> int:
+                     head_dim: int, requested: Optional[int],
+                     backward: bool = False) -> int:
   """Head group G for a (possibly shard-local) head count.
 
   Under mesh partitioning the kernel sees num_heads / n_shards heads;
   a G chosen for the global count may not divide the local one, so the
   per-shard lowering re-picks here (G only affects performance — the
-  saved lse layout is head-major and independent of grouping)."""
+  saved lse layout is head-major and independent of grouping). The
+  backward tile carries ~3 score-sized f32 intermediates (s, ds, dp)
+  plus twice the q/kv-side tiles, so it sizes with its own formula."""
   if requested is not None and num_heads % requested == 0:
     return requested
-  budget = 12 * 1024 * 1024
+  budget = _VMEM_BUDGET_BYTES
+  score_tiles = 3 if backward else 1
+  qd_tiles = 8 if backward else 5
+  kvd_tiles = 6 if backward else 4
   for g in range(num_heads, 0, -1):
     if num_heads % g != 0:
       continue
-    vmem = 4 * (g * q_pad * kv_blk + 4 * g * kv_blk * head_dim
-                + 4 * g * q_pad * head_dim + g * q_pad * head_dim
+    vmem = 4 * (score_tiles * g * q_pad * kv_blk
+                + kvd_tiles * g * kv_blk * head_dim
+                + qd_tiles * g * q_pad * head_dim
                 + 2 * g * q_pad * 128)
     if vmem <= budget:
       return g
@@ -218,7 +238,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, out_ref,
     if lse_ref is not None:
       # log-sum-exp per row: the backward pass reconstructs the softmax
       # as p = exp(s - lse) without re-running the online reduction.
-      lse_ref[0, :] = (m_ref[:, 0] + jnp.log(denom[:, 0]))
+      lse_ref[0, 0, :] = (m_ref[:, 0] + jnp.log(denom[:, 0]))
 
 
 # Import here (not at module top) so non-TPU environments without the
@@ -261,7 +281,7 @@ def flash_attention(query: Array,
       small batch. Default (None): largest divisor of num_heads keeping
       the score tile under the VMEM budget.
     return_lse: also return the per-row softmax log-sum-exp
-      [batch, heads * padded_q] float32 (the residual the backward
+      [batch, 1, heads * padded_q] float32 (the residual the backward
       kernel needs; see flash_attention_diff).
 
   Returns [batch, q_len, heads, head_dim] in the query dtype (plus the
@@ -387,13 +407,14 @@ def _flash_fwd_pallas(*operands, has_bias, bias_per_head, has_mask,
   out_shapes = [jax.ShapeDtypeStruct(
       (batch, num_heads, q_pad, head_dim), q.dtype)]
   if return_lse:
-    # [batch, heads * q_pad] so the row block is 2D/lane-tiled (the
-    # backward kernel reads the same flattened layout).
-    out_specs.append(pl.BlockSpec((1, hg * q_pad),
-                                  lambda b, h, i: (b, h),
+    # [batch, 1, heads * q_pad]: head-major flattened rows; the unit
+    # middle dim keeps the trailing block 2D-tilable under Mosaic (the
+    # backward kernel reads the same layout).
+    out_specs.append(pl.BlockSpec((1, 1, hg * q_pad),
+                                  lambda b, h, i: (b, 0, h),
                                   memory_space=pltpu.VMEM))
     out_shapes.append(jax.ShapeDtypeStruct(
-        (batch, num_heads * q_pad), jnp.float32))
+        (batch, 1, num_heads * q_pad), jnp.float32))
 
   return pl.pallas_call(
       kernel,
@@ -409,6 +430,8 @@ def _flash_fwd_pallas(*operands, has_bias, bias_per_head, has_mask,
       cost_estimate=pl.CostEstimate(
           flops=flops, bytes_accessed=bytes_accessed,
           transcendentals=batch * num_heads * q_pad * kv_pad),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=_VMEM_LIMIT_BYTES),
       interpret=interpret,
   )(*operands)
 
@@ -519,8 +542,8 @@ def _partitioned_fwd(*, has_bias, bias_per_head, has_mask, return_lse,
   res = ["b h q d"]
   out_dims = [(0, 1)]
   if return_lse:
-    res.append("b (h q)")  # head-major flatten: heads-sharding stays valid
-    out_dims.append((0, 1))
+    res.append("b u (h q)")  # head-major flatten: heads-sharding stays valid
+    out_dims.append((0, 2))
   rule = ", ".join(terms) + " -> " + ", ".join(res)
   return _make_partitioned(impl, rule, in_dims, out_dims)
 
@@ -558,7 +581,7 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
 
   s = _masked_scores(q, k, bias_ref, mask_ref, kv_i=kv_i, g_dim=g_dim,
                      q_pad=q_pad, kv_len=kv_len, kv_blk=kv_blk)
-  lse = lse_ref[0, :]  # [G*q_pad]
+  lse = lse_ref[0, 0, :]  # [G*q_pad]
   p = jnp.exp(s - lse[:, None])  # [G*q_pad, kv_blk] — normalized softmax
 
   p3 = p.astype(mm_dtype).reshape(g_dim, q_pad, p.shape[-1])
@@ -572,7 +595,7 @@ def _flash_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, lse_ref,
   dp = jax.lax.dot_general(
       do, v, (((2,), (2,)), ((0,), (0,))),
       preferred_element_type=jnp.float32)  # [G, q_pad, kv_blk]
-  delta = delta_ref[0, :]  # [G*q_pad] = rowsum(do * out)
+  delta = delta_ref[0, 0, :]  # [G*q_pad] = rowsum(do * out)
   ds = p * (dp.reshape(g_dim * q_pad, -1) - delta[:, None])
   ds3 = ds.astype(mm_dtype).reshape(g_dim, q_pad, ds.shape[-1])
 
@@ -603,7 +626,8 @@ def _flash_bwd_pallas(*operands, has_bias, bias_per_head, has_mask,
 
   operands: q [b, h, q_pad, d], k/v [b, h, kv_pad, d]
             [, bias [b, 1|h, q_pad, kv_pad]] [, kv_mask [b, 1, kv_pad]],
-            lse [b, h*q_pad], delta [b, h*q_pad], do [b, h, q_pad, d].
+            lse [b, 1, h*q_pad], delta [b, 1, h*q_pad],
+            do [b, h, q_pad, d].
   Returns (dq [b, h, q_pad, d], dk, dv [b, h, kv_pad, d]) in f32.
   Shard-safe like _flash_fwd_pallas.
   """
@@ -611,7 +635,8 @@ def _flash_bwd_pallas(*operands, has_bias, bias_per_head, has_mask,
   batch, num_heads, q_pad, head_dim = q.shape
   kv_pad = k.shape[2]
   num_kv_blocks = kv_pad // kv_blk
-  hg = _pick_head_group(num_heads, q_pad, kv_blk, head_dim, hg)
+  hg = _pick_head_group(num_heads, q_pad, kv_blk, head_dim, hg,
+                        backward=True)
 
   grid = (batch, num_heads // hg, num_kv_blocks)
   in_specs = [
@@ -631,9 +656,11 @@ def _flash_bwd_pallas(*operands, has_bias, bias_per_head, has_mask,
   if has_mask:
     in_specs.append(pl.BlockSpec((1, 1, kv_blk), lambda b, h, i: (b, 0, i),
                                  memory_space=pltpu.VMEM))
-  in_specs.append(pl.BlockSpec((1, hg * q_pad), lambda b, h, i: (b, h),
+  in_specs.append(pl.BlockSpec((1, 1, hg * q_pad),
+                               lambda b, h, i: (b, 0, h),
                                memory_space=pltpu.VMEM))  # lse
-  in_specs.append(pl.BlockSpec((1, hg * q_pad), lambda b, h, i: (b, h),
+  in_specs.append(pl.BlockSpec((1, 1, hg * q_pad),
+                               lambda b, h, i: (b, 0, h),
                                memory_space=pltpu.VMEM))  # delta
   in_specs.append(pl.BlockSpec((1, hg, q_pad, head_dim),
                                lambda b, h, i: (b, h, 0, 0),
@@ -682,6 +709,8 @@ def _flash_bwd_pallas(*operands, has_bias, bias_per_head, has_mask,
       cost_estimate=pl.CostEstimate(
           flops=flops, bytes_accessed=bytes_accessed,
           transcendentals=batch * num_heads * q_pad * kv_pad),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=_VMEM_LIMIT_BYTES),
       interpret=interpret,
   )(*operands)
 
@@ -702,8 +731,8 @@ def _partitioned_bwd(*, has_bias, bias_per_head, has_mask, mxu_bf16,
   if has_mask:
     terms.append("b u k")
     in_dims.append((0, None))
-  terms += ["b (h q)", "b (h q)", "b h q d"]
-  in_dims += [(0, 1), (0, 1), (0, 1)]
+  terms += ["b u (h q)", "b u (h q)", "b h q d"]
+  in_dims += [(0, 2), (0, 2), (0, 1)]
   rule = (", ".join(terms) + " -> b h q d, b h k d, b h k d")
   return _make_partitioned(impl, rule, in_dims,
                            [(0, 1), (0, 1), (0, 1)])
@@ -725,7 +754,7 @@ def _flash_bwd(query, key, value, bias, kv_mask, out, lse, dout, *,
   delta = jnp.einsum("bqhd,bqhd->bhq", dout.astype(jnp.float32),
                      out.astype(jnp.float32))
   delta = jnp.pad(delta, ((0, 0), (0, 0), (0, q_pad - q_len)))
-  delta = delta.reshape(batch, num_heads * q_pad)
+  delta = delta.reshape(batch, 1, num_heads * q_pad)
 
   q = jnp.transpose(query, (0, 2, 1, 3))
   do = jnp.transpose(dout, (0, 2, 1, 3))
