@@ -212,3 +212,64 @@ class Synthesizer:
                   rng: Optional[jax.Array] = None,
                   vocode: bool = True) -> SongRender:
     return self.render_songs([segments], rng=rng, vocode=vocode)[0]
+
+  def stream_song(self, segments: Sequence[np.ndarray],
+                  rng: Optional[jax.Array] = None,
+                  vocoder_context_frames: int = 16):
+    """Low-latency streaming render: yield audio per segment.
+
+    Generator over (segment_index, mel [l_tgt, dims], audio [samples]
+    or None). Audio for segment i is emitted as soon as its spectrogram
+    is denoised: the vocoder runs on [context | segment] where context
+    is the previous `vocoder_context_frames` mel frames, and the
+    context's samples are dropped — the same warm-up convention the
+    codec uses on the analysis side (16 extra STFT frames to avoid
+    boundary pops, reference audio_codecs.py:214-218). Byte-identical
+    to whole-song vocoding for vocoders whose receptive field fits the
+    context (SoundStream-style causal convs); Griffin-Lim phase
+    estimation is chunk-local, so streamed chunks differ slightly there.
+
+    RNG structure matches render_songs, so the streamed mel equals the
+    batch renderer's output exactly.
+    """
+    if rng is None:
+      rng = jax.random.PRNGKey(0)
+    l_ctx = self.lengths.get("targets_context", self.lengths["targets"])
+    n_dims = self.model.audio_codec.n_dims
+    max_tokens = max((len(s) for s in segments), default=1)
+    l_in = self._input_length(max_tokens)
+
+    song_key = jax.random.fold_in(rng, 0)  # song 0, as in render_songs
+    context = jnp.full((1, l_ctx, n_dims),
+                       self.model.audio_codec.pad_value, jnp.float32)
+    context_mask = jnp.zeros((1, l_ctx), bool)
+    prev_tail = None  # [vocoder_context_frames, dims] mel context
+
+    for gi, seg in enumerate(segments):
+      tokens = np.zeros((1, l_in), np.int32)
+      seg = np.asarray(seg, np.int32)[:l_in]
+      tokens[0, :len(seg)] = seg
+      batch = self._segment_batch(jnp.asarray(tokens), context,
+                                  context_mask)
+      seg_key = jax.random.fold_in(song_key, gi)[None]
+      pred = self._predict(self.params, batch, seg_key)
+      mel = np.asarray(pred[0])  # [l_tgt, dims]
+
+      audio = None
+      if self._vocode is not None:
+        if prev_tail is None or vocoder_context_frames == 0:
+          chunk = self._vocode(pred)
+          audio = np.asarray(chunk[0])
+        else:
+          warm = jnp.concatenate(
+              [jnp.asarray(prev_tail)[None], pred], axis=1)
+          chunk = self._vocode(warm)
+          audio = np.asarray(
+              chunk[0, vocoder_context_frames *
+                    self.model.audio_codec.hop_size:])
+        prev_tail = mel[-vocoder_context_frames:] if (
+            vocoder_context_frames > 0) else None
+
+      context = pred[:, -l_ctx:, :]
+      context_mask = jnp.ones((1, l_ctx), bool)
+      yield gi, mel, audio

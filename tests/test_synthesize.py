@@ -38,6 +38,31 @@ def make_synth(vocoder=None):
   return synthesize.Synthesizer(m, params, LENGTHS, vocoder=vocoder)
 
 
+def test_stream_song_matches_batch_renderer():
+  """Streamed per-segment mel must equal the batch renderer exactly
+  (same per-(song, segment) RNG structure), and audio chunks must have
+  hop-aligned lengths with the vocoder-warmup context dropped."""
+  voc = vocoder_lib.GriffinLimVocoder(num_iters=2)
+  synth = make_synth(vocoder=voc)
+  segs = [np.arange(1, 20, dtype=np.int32),
+          np.arange(5, 30, dtype=np.int32),
+          np.arange(1, 10, dtype=np.int32)]
+  rng = jax.random.PRNGKey(3)
+  want = synth.render_song(segs, rng=rng, vocode=False)
+
+  hop = synth.model.audio_codec.hop_size
+  got_mel, got_audio = [], []
+  for gi, mel, audio in synth.stream_song(segs, rng=rng,
+                                          vocoder_context_frames=4):
+    assert mel.shape == (LENGTHS["targets"], 128)
+    got_mel.append(mel)
+    assert audio is not None and audio.shape == (LENGTHS["targets"] * hop,)
+    got_audio.append(audio)
+  np.testing.assert_allclose(np.concatenate(got_mel), want.mel,
+                             rtol=1e-5, atol=1e-6)
+  assert len(got_audio) == len(segs)
+
+
 def test_render_song_chained():
   synth = make_synth()
   segs = [np.arange(1, 20, dtype=np.int32),
