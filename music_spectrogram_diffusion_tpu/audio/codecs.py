@@ -64,6 +64,15 @@ class AudioCodec:
   def encode(self, audio: Array) -> Array:
     raise NotImplementedError
 
+  def encode_np(self, audio) -> "np.ndarray":
+    """Host-side (numpy) encode for the data pipeline.
+
+    The pipeline must not issue per-example jax dispatches (on the live
+    TPU platform each is a tunnel round trip serialized with training);
+    codecs with a jax-only encode inherit this slow fallback."""
+    import numpy as np
+    return np.asarray(self.encode(audio))
+
   def decode(self, features: Array) -> Array:
     raise NotImplementedError
 
@@ -111,6 +120,24 @@ class MelGan(AudioCodec):
     if audio.shape[0] == 0:
       return jnp.zeros((0, self.n_dims), dtype=jnp.float32)
     return stft.mel_spectrogram(
+        audio,
+        sample_rate=self.sample_rate,
+        n_fft=self._fft_size,
+        hop_length=self.hop_size,
+        win_length=self._frame_length,
+        n_mel_channels=self.n_dims,
+        drop_dc=True,
+        mel_fmin=self._lo_hz,
+        mel_fmax=int(self.sample_rate // 2))
+
+  def encode_np(self, audio) -> "np.ndarray":
+    """numpy mirror of encode() for the host-side pipeline (same math;
+    parity pinned by tests/test_stft_goldens.py)."""
+    import numpy as np
+    audio = np.asarray(audio, np.float32)
+    if audio.shape[0] == 0:
+      return np.zeros((0, self.n_dims), dtype=np.float32)
+    return stft.mel_spectrogram_np(
         audio,
         sample_rate=self.sample_rate,
         n_fft=self._fft_size,

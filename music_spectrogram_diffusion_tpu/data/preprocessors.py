@@ -294,14 +294,14 @@ def encode_audio(
       frames = np.pad(frames, [[0, padding], [0, 0]])
     samples = flatten_frames(frames[:max_len])
     ex[f"raw_{k}"] = samples
-    # Zero-pad frames to the fixed maximum before encoding so every
-    # segment hits ONE compiled STFT shape (pad_end already zero-pads,
-    # so the extra zeros leave the valid frames bit-identical); slice
-    # back to the true frame count afterwards.
+    # Zero-pad frames to the fixed maximum before encoding (pad_end
+    # already zero-pads, so the extra zeros leave the valid frames
+    # bit-identical); slice back to the true frame count afterwards.
+    # encode_np keeps this host-side — no per-example jax dispatch.
     n_valid = frames.shape[0]
     fixed_len = max_len + ac.additional_frames_for_encoding
     padded = np.pad(frames, [[0, fixed_len - n_valid], [0, 0]])
-    encoded = np.asarray(ac.encode(flatten_frames(padded)[None, :])[0])
+    encoded = np.asarray(ac.encode_np(flatten_frames(padded)[None, :])[0])
     assert encoded.shape[0] == fixed_len, (
         f"Length of {k} changed during encoding: "
         f"{fixed_len} -> {encoded.shape[0]}")

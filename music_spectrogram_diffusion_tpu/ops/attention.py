@@ -247,11 +247,39 @@ from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
+def flash_attention(query: Array,
+                    key: Array,
+                    value: Array,
+                    bias: Optional[Array] = None,
+                    kv_mask: Optional[Array] = None,
+                    *,
+                    kv_transposed: bool = False,
+                    mxu_bf16: Optional[bool] = None,
+                    interpret: bool = False,
+                    kv_block_size: Optional[int] = None,
+                    head_block_size: Optional[int] = None,
+                    return_lse: bool = False):
+  """See _flash_attention_jit; this wrapper resolves the module-global
+  defaults OUTSIDE the jit boundary so the trace cache keys on the
+  resolved values (a monkeypatched DEFAULT_MXU_BF16 retraces instead of
+  silently reusing a stale trace)."""
+  if mxu_bf16 is None:
+    mxu_bf16 = DEFAULT_MXU_BF16
+  if not interpret and jax.default_backend() != "tpu":
+    # Mosaic only lowers on TPU; run interpreted on CPU (tests).
+    interpret = True
+  return _flash_attention_jit(
+      query, key, value, bias, kv_mask, kv_transposed=kv_transposed,
+      mxu_bf16=mxu_bf16, interpret=interpret,
+      kv_block_size=kv_block_size, head_block_size=head_block_size,
+      return_lse=return_lse)
+
+
 @functools.partial(
     jax.jit, static_argnames=("kv_transposed", "mxu_bf16", "interpret",
                               "kv_block_size", "head_block_size",
                               "return_lse"))
-def flash_attention(query: Array,
+def _flash_attention_jit(query: Array,
                     key: Array,
                     value: Array,
                     bias: Optional[Array] = None,
@@ -287,12 +315,6 @@ def flash_attention(query: Array,
   Returns [batch, q_len, heads, head_dim] in the query dtype (plus the
   lse array when return_lse).
   """
-  if mxu_bf16 is None:
-    mxu_bf16 = DEFAULT_MXU_BF16
-  if not interpret and jax.default_backend() != "tpu":
-    # Mosaic only lowers on TPU; run interpreted on CPU (tests).
-    interpret = True
-
   batch, q_len, num_heads, head_dim = query.shape
   kv_len = key.shape[2] if kv_transposed else key.shape[1]
   q_pad, kv_blk, kv_pad, num_kv_blocks, hg = _tiling(

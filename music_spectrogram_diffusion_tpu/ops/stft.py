@@ -181,6 +181,55 @@ def mel_to_linear(mel: Array, mel_basis: Array) -> Array:
   return jnp.maximum(mel @ pinv, 0.0)
 
 
+def mel_spectrogram_np(audio: np.ndarray,
+                       *,
+                       sample_rate: int = 16000,
+                       n_fft: int = 1024,
+                       hop_length: int = 160,
+                       win_length: int = 400,
+                       n_mel_channels: Optional[int] = 64,
+                       drop_dc: bool = True,
+                       mel_fmin: float = 60.0,
+                       mel_fmax: Optional[float] = 7800.0,
+                       clip_value_min: float = 1e-5,
+                       clip_value_max: float = 1e8,
+                       log_amplitude: bool = True) -> np.ndarray:
+  """Pure-numpy mirror of mel_spectrogram (same math, same constants).
+
+  The HOST-side data pipeline must not dispatch per-example jax calls —
+  on the live TPU platform each one is a tunnel round trip serialized
+  against training, and even on CPU the dispatch overhead dominates the
+  FFT (measured: the pipeline fed 15 ex/s through the jitted path vs
+  the chip's ~24 seqs/s consumption). numpy releases the GIL in rfft/
+  matmul, so the thread-parallel pipeline scales too. Parity with the
+  jax version is pinned by tests/test_stft_goldens.py.
+  """
+  if mel_fmax is None:
+    mel_fmax = sample_rate // 2
+  audio = np.asarray(audio, np.float32)
+  n = audio.shape[-1]
+  n_frames = -(-n // hop_length)  # ceil (tf.signal pad_end)
+  pad = max(0, (n_frames - 1) * hop_length + win_length - n)
+  audio = np.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(0, pad)])
+  idx = (np.arange(win_length)[None, :] +
+         hop_length * np.arange(n_frames)[:, None])
+  frames = audio[..., idx] * hann_window(win_length)
+  mag = np.abs(np.fft.rfft(frames, n=n_fft, axis=-1))
+  if n_mel_channels is not None:
+    basis = linear_to_mel_matrix(
+        num_mel_bins=n_mel_channels,
+        num_spectrogram_bins=n_fft // 2 + 1,
+        sample_rate=sample_rate,
+        lower_edge_hertz=mel_fmin,
+        upper_edge_hertz=mel_fmax)
+    out = mag @ basis
+  else:
+    out = mag[..., 1:] if drop_dc else mag
+  if log_amplitude:
+    out = np.log(np.clip(out, clip_value_min, clip_value_max))
+  return out.astype(np.float32)
+
+
 def mel_spectrogram(audio: Array,
                     *,
                     sample_rate: int = 16000,

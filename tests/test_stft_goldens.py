@@ -72,3 +72,29 @@ def test_mel_spectrogram_composition(goldens):
   want = np.log(np.maximum(
       goldens["stft_segment"] @ goldens["mel_matrix_melgan"], 1e-5))
   np.testing.assert_allclose(mel, want, rtol=2e-3, atol=2e-3)
+
+
+def test_mel_spectrogram_np_matches_jax(goldens):
+  """The numpy pipeline path (mel_spectrogram_np / MelGan.encode_np)
+  must track the jax path to float tolerance on every golden case plus
+  random audio — the data pipeline and the model otherwise drift."""
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  rng = np.random.RandomState(5)
+  cases = [goldens["audio_segment"],
+           rng.randn(16000).astype(np.float32) * 0.3,
+           rng.randn(641).astype(np.float32)]
+  for audio in cases:
+    got = stft_ops.mel_spectrogram_np(
+        audio[None], sample_rate=16000, n_fft=1024, hop_length=320,
+        win_length=640, n_mel_channels=128, mel_fmin=0.0, mel_fmax=8000.0)
+    want = np.asarray(stft_ops.mel_spectrogram(
+        jnp.asarray(audio)[None], sample_rate=16000, n_fft=1024,
+        hop_length=320, win_length=640, n_mel_channels=128, mel_fmin=0.0,
+        mel_fmax=8000.0))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+  codec = codecs.MelGan()
+  audio = rng.randn(2, 32000).astype(np.float32) * 0.2
+  np.testing.assert_allclose(codec.encode_np(audio),
+                             np.asarray(codec.encode(jnp.asarray(audio))),
+                             rtol=1e-4, atol=1e-4)

@@ -35,8 +35,13 @@ Flax, copied verbatim.
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 BN_EPS = 1e-5  # tf.slim / Keras BatchNormalization default epsilon
 
