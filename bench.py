@@ -24,7 +24,8 @@ def main():
   p.add_argument("--size", default=None, help="model size override")
   p.add_argument("--steps", type=int, default=None,
                  help="sampler steps override")
-  p.add_argument("--batch", type=int, default=1)
+  p.add_argument("--batch", type=int, default=None,
+                 help="segment batch (default 1; --train defaults 16)")
   p.add_argument("--repeats", type=int, default=3)
   p.add_argument("--dtype", default="float32",
                  choices=["float32", "bfloat16"],
@@ -92,7 +93,8 @@ def main():
   codec = codecs.MelGan()
   model = model_lib.ContextDiffusionModel(module, dcfg, codec)
 
-  B, L_IN, L_CTX, L_TGT, D = args.batch, 2048, 256, 256, codec.n_dims
+  B = args.batch or 1
+  L_IN, L_CTX, L_TGT, D = 2048, 256, 256, codec.n_dims
   r = np.random.RandomState(0)
   batch = {
       "encoder_input_tokens": jax.numpy.asarray(
@@ -176,7 +178,7 @@ def _train_bench(size, args):
   from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
   from music_spectrogram_diffusion_tpu.train import trainer as trainer_lib
 
-  B = args.batch if args.batch != 1 else 16  # batch 1 is a synthesis default
+  B = args.batch if args.batch is not None else 16
   net_cfg = cfg_lib.network_config(
       size, with_context=True, dropout_rate=0.1, dtype=args.dtype,
       use_fused_attention=args.fused_attention, remat=True)
@@ -281,7 +283,7 @@ def _typical_song_bench(size, num_steps, args):
       vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
       note_rep=task_lib.NoteRepresentationConfig(include_ties=True))
   songs = []
-  for si in range(args.batch):
+  for si in range(args.batch or 1):
     ns = synthetic.random_note_sequence(
         np.random.RandomState(si), duration=30.0, notes_per_second=8.0)
     songs.append(synthesize_midi.segment_midi(ns, task, lengths))
@@ -302,7 +304,7 @@ def _typical_song_bench(size, num_steps, args):
       "unit": "audio_seconds_per_second",
       "vs_baseline": round(rtf, 3),
   }))
-  print(f"# typical songs={args.batch}: "
+  print(f"# typical songs={args.batch or 1}: "
         f"{[len(s) for s in songs]} segs x{args.repeats}, "
         f"max tokens {max(len(s) for so in songs for s in so)}, "
         f"steps={num_steps}", file=sys.stderr)

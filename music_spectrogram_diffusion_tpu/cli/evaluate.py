@@ -130,8 +130,10 @@ def main():
 
   ds = task.full_song_dataset(lengths)
   if not args.synthetic and args.songs:
-    # Bound song count by truncating the segment stream; group_songs
-    # drops the trailing partial song below.
+    # Bound song count by CUTTING the segment stream (take_while, not
+    # filter: filter would keep tokenizing + mel-encoding the rest of
+    # the split just to discard it); group_songs drops the trailing
+    # partial song below.
     songs_seen = set()
 
     def within_limit(ex):
@@ -139,7 +141,7 @@ def main():
       key = key.decode() if isinstance(key, bytes) else str(key)
       songs_seen.add(key)
       return len(songs_seen) <= args.songs
-    ds = ds.filter(within_limit)
+    ds = ds.take_while(within_limit)
   songs = evaluation.group_songs(ds)
   if args.num_shards > 1:
     keys = sorted(songs)
@@ -157,6 +159,12 @@ def main():
     print("TRILL embeddings enabled (FAD in TRILL space)")
   elif args.trill_weights:
     p.error(f"TRILL weights not found: {args.trill_weights}")
+  from music_spectrogram_diffusion_tpu.infer import postprocessors
+  if postprocessors.EMBEDDING_MODELS and not args.vocode:
+    # Audio-embedding FAD needs rendered audio; without this the
+    # requested metric would silently vanish from the report.
+    print("audio-embedding models registered -> enabling --vocode")
+    args.vocode = True
 
   voc = vocoder.GriffinLimVocoder(num_iters=16) if args.vocode else None
   synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)

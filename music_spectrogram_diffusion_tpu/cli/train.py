@@ -113,7 +113,9 @@ def main():
                 else "synthesis_mega")
     mixture = tasks.MIXTURE_REGISTRY[mix_name]
     print(f"mixture: {mix_name} over {len(mixture.task_names)} tasks")
-    ds = mixture.dataset(lengths, training=True, seed=args.seed)
+    ds = mixture.dataset(lengths, training=True, seed=args.seed,
+                         shuffle_buffer_size=args.shuffle_buffer,
+                         num_threads=args.data_threads)
   else:
     from music_spectrogram_diffusion_tpu.data import datasets, registry
     if args.dataset not in datasets.ALL_DATASET_CONFIGS:

@@ -95,6 +95,11 @@ def write_cache(ds: core.Dataset, cache_dir: str,
   num_examples / num_shards — feeds example-proportional mixture rates).
   """
   os.makedirs(cache_dir, exist_ok=True)
+  # A rebuild may need FEWER shards (bigger shards / shrunk dataset);
+  # stale leftovers would be globbed back in by read_cache and silently
+  # duplicate examples, so clear the old build first.
+  for stale in globlib.glob(os.path.join(cache_dir, "cache-*.tfrecord")):
+    os.remove(stale)
   shard: list = []
   shard_idx = 0
   n = 0

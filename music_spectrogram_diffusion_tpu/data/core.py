@@ -97,6 +97,15 @@ class Dataset:
     return Dataset(
         lambda epoch: itertools.islice(self._gen_fn(epoch), n))
 
+  def take_while(self, pred: Callable[[Example], bool]) -> "Dataset":
+    """Stop the stream at the first failing example.
+
+    Unlike filter() — which keeps pulling (and paying for) upstream
+    examples after a limit is reached — this terminates iteration, so
+    bounded evaluation doesn't tokenize the rest of the split."""
+    return Dataset(
+        lambda epoch: itertools.takewhile(pred, self._gen_fn(epoch)))
+
   def shuffle(self, buffer_size: int, seed: int = 0) -> "Dataset":
     """Streaming shuffle with a fixed-size reservoir (tf.data semantics);
     the order reshuffles every epoch."""

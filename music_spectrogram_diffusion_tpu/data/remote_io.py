@@ -77,7 +77,16 @@ class GsutilCacheFilesystem:
     local = os.path.join(self.cache_dir, path[len("gs://"):])
     if not os.path.exists(local):
       os.makedirs(os.path.dirname(local), exist_ok=True)
-      subprocess.run(self._cli + ["cp", path, local], check=True)
+      # Download to a temp name and rename on success: an interrupted
+      # copy must not leave a truncated file at the final path (it
+      # would satisfy the exists() check forever after).
+      tmp = local + ".tmp"
+      try:
+        subprocess.run(self._cli + ["cp", path, tmp], check=True)
+        os.replace(tmp, local)
+      finally:
+        if os.path.exists(tmp):
+          os.remove(tmp)
     return local
 
   def open(self, path: str, mode: str = "rb") -> IO:

@@ -299,8 +299,9 @@ class Mixture:
   task_names: Sequence[str]
   rates: Optional[Sequence[float]] = None
 
-  def dataset(self, task_feature_lengths, training=True, seed=0
-              ) -> core.Dataset:
+  def dataset(self, task_feature_lengths, training=True, seed=0,
+              shuffle_buffer_size: int = 256,
+              num_threads: int = 1) -> core.Dataset:
     import random
     tasks = [get_task(n) for n in self.task_names]
     rates = (list(self.rates) if self.rates
@@ -308,7 +309,9 @@ class Mixture:
     total = sum(rates)
     probs = [r / total for r in rates]
     streams = [iter(t.model_dataset(task_feature_lengths,
-                                    training=training, seed=seed)
+                                    training=training, seed=seed,
+                                    shuffle_buffer_size=shuffle_buffer_size,
+                                    num_threads=num_threads)
                     .repeat())
                for t in tasks]
 

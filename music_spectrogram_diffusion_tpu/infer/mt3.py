@@ -255,7 +255,7 @@ class MT3Transcriber:
         num_velocity_bins=1)
     self.codec = vocabularies.build_codec(self.vocab_config)
     self.vocabulary = vocabularies.vocabulary_from_codec(self.codec)
-    vocab_size = 128 * -(-self.vocabulary.vocab_size // 128)
+    vocab_size = vocabularies.num_embeddings(self.vocabulary)
     self.module = MT3Transformer(config=MT3Config(vocab_size=vocab_size))
     self.params = params
     self.max_tokens = max_tokens
