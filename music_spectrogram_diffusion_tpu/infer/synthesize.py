@@ -65,6 +65,15 @@ class Synthesizer:
     self.model = model
     self.params = params
     self.lengths = dict(task_feature_lengths)
+    l_ctx = self.lengths.get("targets_context")
+    if l_ctx is not None and l_ctx > self.lengths["targets"]:
+      # Chaining feeds the previous PREDICTION (l_tgt frames) as the
+      # next context; a longer context window would need history across
+      # >1 segment (the reference carries the same restriction).
+      raise ValueError(
+          f"targets_context ({l_ctx}) > targets "
+          f"({self.lengths['targets']}) is unsupported: segment "
+          "chaining uses the previous segment's prediction as context")
     self.vocoder = vocoder
     self.bucket_inputs = bucket_inputs
     self._predict = jax.jit(
@@ -185,23 +194,28 @@ class Synthesizer:
     results = []
     mel_np = np.asarray(mel)
     audio_np = np.asarray(audio) if audio is not None else None
+    # Timing semantics (reference beam/evaluation.py:217-252): the
+    # realtime factor excludes the first segment (it may include
+    # compilation) and, because segments run BATCHED here, rates are
+    # per chip: steady wall / (steady segments x segment audio x songs
+    # in the batch). prediction_seconds stays the literal whole-batch
+    # wall including segment 0.
+    steady = seg_times[1:] if len(seg_times) > 1 else seg_times
+    seg_audio = l_tgt / frame_rate
+    steady_rate = (float(np.sum(steady)) /
+                   max(len(steady) * seg_audio * n_songs, 1e-9))
     for si, song in enumerate(songs):
       n_frames = len(song) * l_tgt
       song_audio = (audio_np[si, :n_frames *
                              self.model.audio_codec.hop_size]
                     if audio_np is not None else None)
       audio_seconds = n_frames / frame_rate
-      # Exclude the first segment (compile) per reference methodology
-      # (beam/evaluation.py:217-219) when enough segments exist.
-      steady = seg_times[1:] if len(seg_times) > 1 else seg_times
-      pred_seconds = float(np.sum(seg_times))
       results.append(SongRender(
           mel=mel_np[si, :n_frames],
           audio=song_audio,
           timings={
-              "prediction_seconds": pred_seconds,
-              "prediction_seconds_per_audio_second":
-                  pred_seconds / max(audio_seconds, 1e-9),
+              "prediction_seconds": float(np.sum(seg_times)),
+              "prediction_seconds_per_audio_second": steady_rate,
               "steady_segment_seconds": float(np.median(steady)),
               "audio_decode_seconds": vocode_time,
               "audio_seconds": audio_seconds,

@@ -82,11 +82,6 @@ class AutoregressiveModel:
     """Autoregressively generate the target spectrogram segment."""
     if rng is None:
       rng = jax.random.PRNGKey(42)
-    if dops.is_batched_key(rng):
-      # AR decoding threads one key through its scan; collapse
-      # per-example keys (used by the batch-invariant diffusion sampler)
-      # to the first example's key.
-      rng = rng[0]
     tokens = batch["encoder_input_tokens"]
     target_shape = batch["decoder_target_tokens"].shape
     batch_size, target_len = target_shape[0], target_shape[1]
@@ -104,22 +99,33 @@ class AutoregressiveModel:
         method=self.module.decode)
     cache = variables["cache"]
 
+    # Per-example keys: a song's samples must not depend on its batch
+    # neighbours (Synthesizer.render_songs' batch-invariance contract).
+    # The diffusion sampler passes per-example keys already; a single
+    # key is split per example here.
+    if dops.is_batched_key(rng):
+      example_keys = rng
+    else:
+      example_keys = jax.random.split(rng, batch_size)
+
     def step(carry, _):
-      prev_y, cache, step_rng = carry
+      prev_y, cache, keys = carry
       outputs, vars_out = self.module.apply(
           {"params": params, "cache": cache},
           encoded, tokens, prev_y,
           jnp.zeros((batch_size, 1, n_dims)),
           enable_dropout=False, decode=True, mutable=["cache"],
           method=self.module.decode)
-      step_rng, sample_rng = jax.random.split(step_rng)
-      y = self.output_function.get_sample(outputs[:, 0], sample_rng)
+      split = jax.vmap(jax.random.split)(keys)  # [B, 2, key]
+      keys, sample_keys = split[:, 0], split[:, 1]
+      y = jax.vmap(lambda o, k: self.output_function.get_sample(o, k))(
+          outputs[:, 0], sample_keys)
       y = y[:, None, :]
-      return (y, vars_out["cache"], step_rng), y
+      return (y, vars_out["cache"], keys), y
 
     init_y = jnp.zeros((batch_size, 1, n_dims))
     (_, _, _), ys = jax.lax.scan(
-        step, (init_y, cache, rng), None, length=target_len)
+        step, (init_y, cache, example_keys), None, length=target_len)
     # ys: [length, batch, 1, n_dims] -> [batch, length, n_dims]
     decodes = jnp.transpose(ys[:, :, 0, :], (1, 0, 2))
     return decodes, jnp.zeros((batch_size,))

@@ -70,6 +70,10 @@ class DiffusionModelBase:
     targets = self.audio_codec.scale_features(
         targets, output_range=(-1.0, 1.0), clip=True)
 
+    # dropout_rng=None means a deterministic eval pass: fixed
+    # noise/time draws AND no dropout (the t5x eval contract; the AR
+    # model does the same — autoregressive/model.py).
+    enable_dropout = dropout_rng is not None
     if dropout_rng is None:
       dropout_rng = jax.random.PRNGKey(0)
     dropout_rng, diffusion_rng = jax.random.split(dropout_rng)
@@ -78,7 +82,8 @@ class DiffusionModelBase:
         diffusion_rng, targets, self.diffusion_config)
 
     model_output = self._apply_train(
-        params, batch, z_t, noise_time, include_conditioning, dropout_rng)
+        params, batch, z_t, noise_time, include_conditioning, dropout_rng,
+        enable_dropout)
 
     loss = dops.training_loss(
         x0=targets, eps=eps, z=z_t, time=noise_time,
@@ -122,15 +127,15 @@ class DiffusionModelBase:
       return jax.tree.map(lambda x: x.astype(jnp.bfloat16), kv)
 
     cond_wt = self.diffusion_config.guidance.eval_condition_weight
+    cross_kv = _cast_kv(self.module.apply(
+        {"params": params}, encodings_and_masks,
+        method=self.module.precompute_cross_kv))
     if cond_wt != 1.0:
       # Fused CFG: one decoder forward at batch 2B. Encodings / masks /
       # cached K/V stay at batch B — the unconditional rows' cross
       # attention is exactly zero (reference zeroes masks + encodings),
       # so the decoder computes it only for the conditional rows
       # (`cond_rows`), saving ~half the cross-attention work.
-      cross_kv = _cast_kv(self.module.apply(
-          {"params": params}, encodings_and_masks,
-          method=self.module.precompute_cross_kv))
 
       def denoise_pair_fn(z, time):
         z2 = jnp.concatenate([z, z], axis=0)
@@ -142,10 +147,6 @@ class DiffusionModelBase:
             method=self.module.decode)
         return out[:batch_size], out[batch_size:]
     else:
-      cross_kv = _cast_kv(self.module.apply(
-          {"params": params}, encodings_and_masks,
-          method=self.module.precompute_cross_kv))
-
       def denoise_pair_fn(z, time):
         out = self.module.apply(
             {"params": params}, encodings_and_masks, z, time,
@@ -214,7 +215,8 @@ class DiffusionModel(DiffusionModelBase):
         enable_dropout=False, method=self.module.encode)
 
   def _apply_train(self, params, batch, z_t, noise_time,
-                   include_conditioning, dropout_rng):
+                   include_conditioning, dropout_rng,
+                   enable_dropout=True):
     tokens = batch["encoder_input_tokens"]
     tokens = tokens * dops.bcast_left(
         include_conditioning, tokens.shape).astype(tokens.dtype)
@@ -223,7 +225,7 @@ class DiffusionModel(DiffusionModelBase):
         encoder_input_tokens=tokens,
         decoder_input_tokens=z_t,
         decoder_noise_time=noise_time,
-        enable_dropout=True,
+        enable_dropout=enable_dropout,
         rngs={"dropout": dropout_rng})
 
 
@@ -265,7 +267,8 @@ class ContextDiffusionModel(DiffusionModelBase):
         enable_dropout=False, method=self.module.encode)
 
   def _apply_train(self, params, batch, z_t, noise_time,
-                   include_conditioning, dropout_rng):
+                   include_conditioning, dropout_rng,
+                   enable_dropout=True):
     tokens = batch["encoder_input_tokens"]
     tokens = tokens * dops.bcast_left(
         include_conditioning, tokens.shape).astype(tokens.dtype)
@@ -282,7 +285,7 @@ class ContextDiffusionModel(DiffusionModelBase):
         encoder_continuous_mask=ctx_mask,
         decoder_input_tokens=z_t,
         decoder_noise_time=noise_time,
-        enable_dropout=True,
+        enable_dropout=enable_dropout,
         rngs={"dropout": dropout_rng})
 
   def loss_fn(self, params, batch, dropout_rng):

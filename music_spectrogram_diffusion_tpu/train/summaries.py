@@ -43,7 +43,10 @@ class SummaryWriter:
     os.makedirs(log_dir, exist_ok=True)
     self._index: Dict[str, list] = {"images": [], "audio": [],
                                     "scalars": []}
-    self._audio_bytes = 0
+    # Per-step audio budget (the reference cap guards one metric
+    # invocation, not the writer's lifetime — a lifetime cap would
+    # silently stop audio for all later eval steps).
+    self._audio_bytes: Dict[int, int] = {}
 
   def add_spectrogram_image(self, tag: str, step: int,
                             features: np.ndarray) -> Optional[str]:
@@ -58,13 +61,13 @@ class SummaryWriter:
   def add_audio(self, tag: str, step: int, audio: np.ndarray,
                 sample_rate: int = 16000) -> Optional[str]:
     nbytes = audio.size * 2
-    if self._audio_bytes + nbytes > MAX_AUDIO_BYTES:
-      return None  # same cap as the reference's TB logger
+    if self._audio_bytes.get(step, 0) + nbytes > MAX_AUDIO_BYTES:
+      return None  # same per-invocation cap as the reference's TB logger
     from music_spectrogram_diffusion_tpu.audio import wav_io
     name = f"{tag.replace('/', '_')}_{step}.wav"
     path = os.path.join(self.log_dir, name)
     wav_io.write_wav(path, audio, sample_rate)
-    self._audio_bytes += nbytes
+    self._audio_bytes[step] = self._audio_bytes.get(step, 0) + nbytes
     self._index["audio"].append({"tag": tag, "step": step, "file": name})
     self._flush_index()
     return path
