@@ -156,8 +156,10 @@ class MelGan(AudioCodec):
     """[batch, n_frames, 128] -> [batch, n_frames * hop_size] audio."""
     if self._vocoder_apply_fn is None:
       raise ValueError(
-          "No vocoder attached; call set_vocoder() with a trained/converted "
-          "SoundStream mel inverter first.")
+          "No vocoder attached; call "
+          "set_vocoder(*voc.as_codec_decoder()) with voc from "
+          "vocoder.load_soundstream(path) (converted weights) or "
+          "vocoder.GriffinLimVocoder() (weights-free).")
     if self._decode_dither_amount > 0:
       if rng is None:
         raise ValueError("decode dither requires an rng key")

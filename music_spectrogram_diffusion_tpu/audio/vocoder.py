@@ -122,6 +122,15 @@ def load_soundstream(npz_path: str,
   def vocode(log_mel: Array, rng=None) -> Array:
     del rng
     return apply_fn({"params": params}, log_mel)
+
+  def as_codec_decoder():
+    """(apply_fn, params) pair for AudioCodec.set_vocoder — the same
+    shape GriffinLimVocoder.as_codec_decoder returns, so either plugs
+    in as set_vocoder(*voc.as_codec_decoder()). The converted weights
+    are closed over; the params slot is unused."""
+    return (lambda _params, log_mel: vocode(log_mel)), None
+
+  vocode.as_codec_decoder = as_codec_decoder
   return vocode
 
 

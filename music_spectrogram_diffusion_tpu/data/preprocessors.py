@@ -299,6 +299,12 @@ def encode_audio(
     # bit-identical); slice back to the true frame count afterwards.
     # encode_np keeps this host-side — no per-example jax dispatch.
     n_valid = frames.shape[0]
+    if n_valid == 0:
+      # Nothing to encode (e.g. the empty targets_context every
+      # full-song eval segment carries) — skip the mel frontend instead
+      # of running it over all-zero padding just to slice back to 0.
+      ex[k] = np.zeros((0, ac.n_dims), np.float32)
+      continue
     fixed_len = max_len + ac.additional_frames_for_encoding
     padded = np.pad(frames, [[0, fixed_len - n_valid], [0, 0]])
     encoded = np.asarray(ac.encode_np(flatten_frames(padded)[None, :])[0])

@@ -120,8 +120,12 @@ def _raw_source(config, split, audio_codec, event_codec_obj, note_rep,
   # as pre-tokenized examples. Task.tokenized() starts from
   # {'sequence','audio'} for the generic path, so for dataset-specific
   # tokenizers we return tokenized examples directly and Task handles it.
+  # Eval splits keep the ORIGINAL NoteSequence (no overlapping-note
+  # trim): ground truth for transcription metrics must be unaltered
+  # (tokenizers.py Slakh/Cerberus4 branch on is_training_data).
   return dataset_source(config, split, audio_codec, event_codec_obj,
-                        note_rep, data_root)
+                        note_rep, data_root,
+                        is_training=(split == config.train_split))
 
 
 def register_all_tasks(data_root: Optional[str] = None,

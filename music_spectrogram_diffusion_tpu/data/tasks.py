@@ -125,14 +125,7 @@ class Task:
         examples_per_shard=examples_per_shard)
 
   def _split_cached(self, ex):
-    n = len(ex["targets"])
-    for start in range(0, n, MAX_NUM_CACHED_FRAMES):
-      sl = slice(start, start + MAX_NUM_CACHED_FRAMES)
-      out = dict(ex)
-      for k in ("targets", "input_times", "event_start_indices",
-                "event_end_indices", "state_event_indices"):
-        out[k] = ex[k][sl]
-      yield out
+    return preprocessors.split_cached_frames(ex, MAX_NUM_CACHED_FRAMES)
 
   # -- post-cache (train) ---------------------------------------------------
 
@@ -308,14 +301,17 @@ class Mixture:
              else [1.0] * len(tasks))
     total = sum(rates)
     probs = [r / total for r in rates]
-    streams = [iter(t.model_dataset(task_feature_lengths,
-                                    training=training, seed=seed,
-                                    shuffle_buffer_size=shuffle_buffer_size,
-                                    num_threads=num_threads)
-                    .repeat())
-               for t in tasks]
-
     def gen():
+      # Streams are created INSIDE the generator so the Dataset is
+      # re-iterable (each iteration gets fresh, independent per-task
+      # iterators — matching core.py's per-epoch contract).
+      streams = [iter(t.model_dataset(task_feature_lengths,
+                                      training=training, seed=seed,
+                                      shuffle_buffer_size=(
+                                          shuffle_buffer_size),
+                                      num_threads=num_threads)
+                      .repeat())
+                 for t in tasks]
       rng = random.Random(seed)
       while True:
         i = rng.choices(range(len(streams)), weights=probs)[0]

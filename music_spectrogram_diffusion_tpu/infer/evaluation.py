@@ -87,8 +87,12 @@ def evaluate_songs(
                    for _, segs in chunk]
 
     if prediction_source == "model":
+      # Distinct key per chunk: render_songs folds per song POSITION, so
+      # reusing rng would give songs at the same position in different
+      # chunks identical noise (correlated samples bias population FAD).
+      chunk_rng = jax.random.fold_in(rng, start)
       renders = synth.render_songs(
-          token_lists, rng=rng, vocode=vocode,
+          token_lists, rng=chunk_rng, vocode=vocode,
           always_mask_context=always_mask_context)
     elif prediction_source in ("gt_encoded", "gt_raw"):
       renders = []

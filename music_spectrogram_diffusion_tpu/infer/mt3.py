@@ -276,20 +276,27 @@ class MT3Transcriber:
         self.params, jnp.asarray(segs), jnp.asarray(mask)))
 
     # Decode each segment's tokens at its absolute start time through
-    # the shared note state machine (it spans segment boundaries).
-    state = sequences.NoteDecodingState()
+    # the shared note state machine (it spans segment boundaries). MT3
+    # emits NoteEncodingWithTiesSpec streams: every segment OPENS with a
+    # tie section re-declaring the still-active notes, so the decoder
+    # must enter tie-section mode per segment (begin_decoding_segment_fn)
+    # or held notes get split/mistaken for fresh onsets at each 2.048 s
+    # boundary.
+    spec = sequences.NoteEncodingWithTiesSpec
+    state = spec.init_decoding_state_fn()
     for i in range(n_segments):
       start_time = i * INPUT_FRAMES / FRAMES_PER_SECOND
       codec_ids = self.vocabulary.decode(tokens[i])
       codec_ids = codec_ids[codec_ids >= 0]  # drop EOS/invalid/pad
+      spec.begin_decoding_segment_fn(state)
       run_length.decode_events(
           state=state,
           tokens=np.asarray(codec_ids, np.int32),
           start_time=start_time,
           max_time=None,
           codec=self.codec,
-          decode_event_fn=sequences.decode_note_event)
-    return sequences.flush_note_decoding_state(state)
+          decode_event_fn=spec.decode_event_fn)
+    return spec.flush_decoding_state_fn(state)
 
 
 # Reference t5x/mt3 module names -> this module tree. The mt3 network is

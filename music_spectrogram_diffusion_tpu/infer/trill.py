@@ -47,28 +47,14 @@ STAGE_FILTERS = (64, 128, 256, 512)
 def log_mel_patches(audio: np.ndarray) -> np.ndarray:
   """[n_samples] @16 kHz -> [n_patches, 96, 64] log-mel, 0.17 s hop.
 
-  Same frame/mel math as VGGish (infer/vggish.py frontend); only the
-  patch hop differs (17 frames vs non-overlapping 96)."""
-  audio = np.asarray(audio, np.float32)
-  n = len(audio)
-  n_frames = max(0, (n - vggish_lib.STFT_WINDOW) // vggish_lib.STFT_HOP + 1)
+  The shared audioset frontend (vggish_lib.log_mel_frames) windowed at
+  TRILL's ~0.167 s step instead of VGGish's non-overlapping patches."""
+  log_mel = vggish_lib.log_mel_frames(audio)
+  n_frames = len(log_mel)
   if n_frames < PATCH_FRAMES:
     return np.zeros((0, PATCH_FRAMES, NUM_MEL_BINS), np.float32)
-  idx = (np.arange(vggish_lib.STFT_WINDOW)[None, :] +
-         vggish_lib.STFT_HOP * np.arange(n_frames)[:, None])
-  frames = audio[idx] * np.hanning(vggish_lib.STFT_WINDOW).astype(np.float32)
-  mag = np.abs(np.fft.rfft(frames, n=vggish_lib.FFT_LENGTH, axis=-1))
-  from music_spectrogram_diffusion_tpu.ops import stft as stft_ops
-  mel_mat = stft_ops.linear_to_mel_matrix(
-      num_mel_bins=NUM_MEL_BINS,
-      num_spectrogram_bins=vggish_lib.FFT_LENGTH // 2 + 1,
-      sample_rate=vggish_lib.SAMPLE_RATE,
-      lower_edge_hertz=vggish_lib.MEL_MIN_HZ,
-      upper_edge_hertz=vggish_lib.MEL_MAX_HZ)
-  log_mel = np.log(mag @ mel_mat + vggish_lib.LOG_OFFSET)
   starts = np.arange(0, n_frames - PATCH_FRAMES + 1, PATCH_HOP_FRAMES)
-  patches = np.stack([log_mel[s:s + PATCH_FRAMES] for s in starts])
-  return patches.astype(np.float32)
+  return np.stack([log_mel[s:s + PATCH_FRAMES] for s in starts])
 
 
 class ConvBnRelu(nn.Module):

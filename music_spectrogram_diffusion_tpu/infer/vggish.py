@@ -49,18 +49,18 @@ PATCH_FRAMES = 96  # 0.96 s
 EMBEDDING_SIZE = 128
 
 
-def log_mel_patches(audio: np.ndarray) -> np.ndarray:
-  """[n_samples] float audio @16 kHz -> [n_patches, 96, 64] log-mel.
+def log_mel_frames(audio: np.ndarray) -> np.ndarray:
+  """[n_samples] @16 kHz -> [n_frames, 64] audioset log-mel frames.
 
   Matches audioset/mel_features.py (symmetric Hann, no padding,
-  magnitude spectrogram, HTK mel, log(x + 0.01), non-overlapping
-  96-frame patches; a tail shorter than one patch is dropped).
+  magnitude spectrogram, HTK mel, log(x + 0.01)). Shared by the VGGish
+  and TRILL frontends, which window these frames differently.
   """
   audio = np.asarray(audio, np.float32)
   n = len(audio)
   n_frames = max(0, (n - STFT_WINDOW) // STFT_HOP + 1)
-  if n_frames < PATCH_FRAMES:
-    return np.zeros((0, PATCH_FRAMES, NUM_MEL_BINS), np.float32)
+  if n_frames <= 0:
+    return np.zeros((0, NUM_MEL_BINS), np.float32)
   idx = (np.arange(STFT_WINDOW)[None, :] +
          STFT_HOP * np.arange(n_frames)[:, None])
   frames = audio[idx] * np.hanning(STFT_WINDOW).astype(np.float32)
@@ -71,11 +71,21 @@ def log_mel_patches(audio: np.ndarray) -> np.ndarray:
       num_mel_bins=NUM_MEL_BINS, num_spectrogram_bins=FFT_LENGTH // 2 + 1,
       sample_rate=SAMPLE_RATE, lower_edge_hertz=MEL_MIN_HZ,
       upper_edge_hertz=MEL_MAX_HZ)
-  log_mel = np.log(mag @ mel_mat + LOG_OFFSET)
-  n_patches = n_frames // PATCH_FRAMES
-  log_mel = log_mel[:n_patches * PATCH_FRAMES]
-  return log_mel.reshape(n_patches, PATCH_FRAMES,
-                         NUM_MEL_BINS).astype(np.float32)
+  return np.log(mag @ mel_mat + LOG_OFFSET).astype(np.float32)
+
+
+def log_mel_patches(audio: np.ndarray) -> np.ndarray:
+  """[n_samples] float audio @16 kHz -> [n_patches, 96, 64] log-mel.
+
+  Non-overlapping 96-frame patches; a tail shorter than one patch is
+  dropped (audioset example windowing).
+  """
+  log_mel = log_mel_frames(audio)
+  n_patches = len(log_mel) // PATCH_FRAMES
+  if n_patches == 0:
+    return np.zeros((0, PATCH_FRAMES, NUM_MEL_BINS), np.float32)
+  return log_mel[:n_patches * PATCH_FRAMES].reshape(
+      n_patches, PATCH_FRAMES, NUM_MEL_BINS)
 
 
 class VGGish(nn.Module):

@@ -88,12 +88,30 @@ class DecoderLayer(nn.Module):
 
     y = layers.RMSNorm(dtype=cfg.dtype,
                        name="pre_cross_attention_norm")(x)
-    y = layers.MultiHeadAttention(
+    cross = layers.MultiHeadAttention(
         num_heads=cfg.num_heads, head_dim=cfg.head_dim,
         out_features=cfg.emb_dim, dtype=cfg.dtype,
         dropout_rate=cfg.dropout_rate,
-        name="encoder_decoder_attention")(
-            y, encoded, encoder_decoder_mask, deterministic=deterministic)
+        name="encoder_decoder_attention")
+    if decode:
+      # The encoder memory is fixed for the whole generation, so its
+      # K/V projections are computed ONCE on the cache-init pass and
+      # stored alongside the self-attention decode cache — without
+      # this, every single-token decode step re-projects the full
+      # encoder output through K and V in every layer (the dominant
+      # cost of AR/MT3 generation).
+      if not self.has_variable("cache", "cross_key"):
+        k_init, v_init = cross.project_kv(encoded)
+      else:
+        k_init = v_init = None
+      ck = self.variable("cache", "cross_key", lambda: k_init)
+      cv = self.variable("cache", "cross_value", lambda: v_init)
+      y = cross(y, None, encoder_decoder_mask,
+                cached_kv=(ck.value, cv.value),
+                deterministic=deterministic)
+    else:
+      y = cross(y, encoded, encoder_decoder_mask,
+                deterministic=deterministic)
     y = nn.Dropout(rate=cfg.dropout_rate, broadcast_dims=(-2,))(
         y, deterministic=deterministic)
     y = y + x
