@@ -60,6 +60,8 @@ def main():
   p.add_argument("--num_shards", type=int, default=1)
   p.add_argument("--shard", type=int, default=0)
   args = p.parse_args()
+  if not 0 <= args.shard < args.num_shards:
+    p.error(f"--shard {args.shard} out of range [0, {args.num_shards})")
 
   import dataclasses
   import jax
@@ -160,10 +162,13 @@ def main():
   elif args.trill_weights:
     p.error(f"TRILL weights not found: {args.trill_weights}")
   from music_spectrogram_diffusion_tpu.infer import postprocessors
-  if postprocessors.EMBEDDING_MODELS and not args.vocode:
+  audio_embedders = set(postprocessors.EMBEDDING_MODELS) - {"mel"}
+  if audio_embedders and not args.vocode:
     # Audio-embedding FAD needs rendered audio; without this the
-    # requested metric would silently vanish from the report.
-    print("audio-embedding models registered -> enabling --vocode")
+    # requested metric would silently vanish from the report. ('mel'
+    # operates on spectrograms and doesn't need audio.)
+    print(f"audio-embedding models {sorted(audio_embedders)} registered "
+          "-> enabling --vocode")
     args.vocode = True
 
   voc = vocoder.GriffinLimVocoder(num_iters=16) if args.vocode else None

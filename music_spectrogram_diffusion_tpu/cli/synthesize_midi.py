@@ -54,7 +54,8 @@ def main():
   p.add_argument("--output", required=True)
   p.add_argument("--checkpoint", default=None)
   p.add_argument("--size", default="small")
-  p.add_argument("--steps", type=int, default=1000)
+  p.add_argument("--steps", type=int, default=None,
+                 help="sampler steps override (default: the checkpoint's\n                 configured count — e.g. a distilled checkpoint keeps its\n                 reduced steps)")
   p.add_argument("--seed", type=int, default=0)
   p.add_argument("--vocoder", default="griffin_lim",
                  choices=["griffin_lim", "none"])
@@ -89,7 +90,7 @@ def main():
             cfg_lib.ExperimentConfig().diffusion,
             sampler=dataclasses.replace(
                 cfg_lib.ExperimentConfig().diffusion.sampler,
-                num_steps=args.steps)))
+                num_steps=args.steps or 1000)))
     model = inference.build_model(experiment)
     tl = experiment.task_lengths
     lengths = {"inputs": tl.inputs, "targets": tl.targets,

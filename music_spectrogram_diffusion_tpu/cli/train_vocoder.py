@@ -70,15 +70,18 @@ def main():
   os.makedirs(args.model_dir, exist_ok=True)
   log = open(os.path.join(args.model_dir, "metrics.jsonl"), "a")
   t0 = time.time()
+  last_logged = 0
   for step, (mel, audio) in enumerate(
       itertools.islice(batches, args.steps), start=1):
     state, metrics = trainer.train_step(state, mel, audio)
     if step % args.log_period == 0 or step == args.steps:
+      window = step - last_logged  # final window may be short
       payload = {"step": step,
                  **{k: float(v) for k, v in metrics.items()},
-                 "steps_per_second": args.log_period / max(
+                 "steps_per_second": window / max(
                      time.time() - t0, 1e-9)}
       t0 = time.time()
+      last_logged = step
       log.write(json.dumps(payload) + "\n")
       log.flush()
       print(" ".join(f"{k}={v:.5g}" for k, v in payload.items()))

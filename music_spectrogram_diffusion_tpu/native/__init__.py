@@ -25,12 +25,22 @@ def _build(src_dir: str) -> Optional[str]:
       os.path.getmtime(out) >= os.path.getmtime(src)):
     return out
   include = sysconfig.get_paths()["include"]
+  # Compile to a process-unique temp name and rename into place:
+  # concurrent processes (evaluate --num_shards, multi-host training)
+  # racing on one output path could dlopen a half-written ELF.
+  tmp = f"{out}.{os.getpid()}.tmp"
   cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-         f"-I{include}", src, "-o", out]
+         f"-I{include}", src, "-o", tmp]
   try:
     subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    os.replace(tmp, out)  # atomic on POSIX
   except (subprocess.CalledProcessError, FileNotFoundError,
-          subprocess.TimeoutExpired):
+          subprocess.TimeoutExpired, OSError):
+    if os.path.exists(tmp):
+      try:
+        os.remove(tmp)
+      except OSError:
+        pass
     return None
   return out
 

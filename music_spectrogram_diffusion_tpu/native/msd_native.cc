@@ -93,7 +93,9 @@ PyObject* py_split_tfrecords(PyObject*, PyObject* args) {
       return nullptr;
     }
     pos += 12;
-    if (pos + length + 4 > n) {
+    // Overflow-safe bounds check: a corrupt 64-bit length could wrap
+    // pos + length + 4 around to a small value.
+    if (length > n - pos || n - pos - length < 4) {
       PyBuffer_Release(&buf);
       Py_DECREF(out);
       PyErr_SetString(PyExc_IOError, "truncated TFRecord");
@@ -137,11 +139,22 @@ PyObject* py_decode_varints(PyObject*, PyObject* args) {
   while (pos < n) {
     uint64_t v = 0;
     int shift = 0;
+    bool terminated = false;
     while (pos < n) {
       uint8_t b = p[pos++];
+      if (shift >= 64) {  // >=10 continuation bytes: malformed varint
+        PyBuffer_Release(&buf);
+        PyErr_SetString(PyExc_ValueError, "varint too long");
+        return nullptr;
+      }
       v |= static_cast<uint64_t>(b & 0x7F) << shift;
-      if (!(b & 0x80)) break;
+      if (!(b & 0x80)) { terminated = true; break; }
       shift += 7;
+    }
+    if (!terminated) {  // buffer ended inside a varint
+      PyBuffer_Release(&buf);
+      PyErr_SetString(PyExc_ValueError, "truncated varint");
+      return nullptr;
     }
     values.push_back(v);
   }

@@ -118,7 +118,7 @@ def make_distill_loss_fn(
         batch["decoder_target_tokens"], output_range=(-1.0, 1.0),
         clip=True)
     batch_size = targets.shape[0]
-    rng_t, rng_eps = jax.random.split(rng)
+    rng_t, rng_eps, rng_drop = jax.random.split(rng, 3)
 
     # Sample a student grid time t in {1/N, 2/N, ..., 1}.
     idx = jax.random.randint(rng_t, (batch_size,), 1,
@@ -135,16 +135,29 @@ def make_distill_loss_fn(
         method=teacher_model.module.precompute_cross_kv)
 
     def teacher_x0(z, time):
-      z2 = jnp.concatenate([z, z], axis=0)
-      time2 = jnp.concatenate([time, time], axis=0)
-      out = teacher_model.module.apply(
-          {"params": teacher_params}, t_enc, z2, time2,
-          enable_dropout=False, cross_kv=t_kv, cond_rows=z.shape[0],
-          method=teacher_model.module.decode)
-      cond, uncond = out[:z.shape[0]], out[z.shape[0]:]
-      c = dops.x0_eps_from_model_output(z, time, cond, dconfig)
-      u = dops.x0_eps_from_model_output(z, time, uncond, dconfig)
-      eps_g = guidance_weight * c["eps"] + (1 - guidance_weight) * u["eps"]
+      if guidance_weight == 1.0:
+        # Later rounds distill an already-guided teacher: the
+        # unconditional branch would be multiplied by zero, so skip the
+        # doubled forward entirely (same condition ops/diffusion.py
+        # uses to pick its sampler path).
+        out = teacher_model.module.apply(
+            {"params": teacher_params}, t_enc, z, time,
+            enable_dropout=False, cross_kv=t_kv,
+            method=teacher_model.module.decode)
+        c = dops.x0_eps_from_model_output(z, time, out, dconfig)
+        eps_g = c["eps"]
+      else:
+        z2 = jnp.concatenate([z, z], axis=0)
+        time2 = jnp.concatenate([time, time], axis=0)
+        out = teacher_model.module.apply(
+            {"params": teacher_params}, t_enc, z2, time2,
+            enable_dropout=False, cross_kv=t_kv, cond_rows=z.shape[0],
+            method=teacher_model.module.decode)
+        cond, uncond = out[:z.shape[0]], out[z.shape[0]:]
+        c = dops.x0_eps_from_model_output(z, time, cond, dconfig)
+        u = dops.x0_eps_from_model_output(z, time, uncond, dconfig)
+        eps_g = (guidance_weight * c["eps"]
+                 + (1 - guidance_weight) * u["eps"])
       logsnr = dops.bcast_left(dops.logsnr_at(time, schedule), z.shape)
       return dops.x0_from_eps(z, eps_g, logsnr)
 
@@ -156,7 +169,7 @@ def make_distill_loss_fn(
     # unconditional branch at sampling time).
     s_out = student_model._apply_train(
         params, batch, z_t, t,
-        include_conditioning=jnp.ones((batch_size,)), dropout_rng=rng)
+        include_conditioning=jnp.ones((batch_size,)), dropout_rng=rng_drop)
     s = dops.x0_eps_from_model_output(z_t, t, s_out, dconfig)
 
     # Truncated SNR weighting: w = max(alpha^2 / sigma^2, 1).

@@ -55,8 +55,10 @@ def dump(saved_model_path: str, out_path: str) -> None:
 
 def _target_tree(base_channels: int = 512):
   """Shapes of SoundStreamDecoder params (without instantiating JAX)."""
+  import os as _os
   import sys as _sys
-  _sys.path.insert(0, ".")
+  _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+      _os.path.abspath(__file__))))
   import jax
   from music_spectrogram_diffusion_tpu.audio import vocoder
   dec = vocoder.SoundStreamDecoder(
