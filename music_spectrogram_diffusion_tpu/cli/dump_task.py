@@ -1,9 +1,18 @@
 """Materialize and print examples from a task (debug tool).
 
+  # Synthetic source:
   python -m music_spectrogram_diffusion_tpu.cli.dump_task \
       --synthetic [--full_song] [--n 2] [--decode_events]
 
-Equivalent of the reference dump_task.py.
+  # Any registered task (TFRecords reachable via --data_root):
+  python -m music_spectrogram_diffusion_tpu.cli.dump_task \
+      --task synthesis_maestrov3_... --data_root /data/mirror
+  # or by dataset shorthand:
+  python -m music_spectrogram_diffusion_tpu.cli.dump_task \
+      --dataset maestrov3 --split train --data_root /data/mirror
+
+Equivalent of the reference dump_task.py (dumps any registered task,
+reference dump_task.py:42).
 """
 
 from __future__ import annotations
@@ -14,6 +23,16 @@ import argparse
 def main():
   p = argparse.ArgumentParser(description=__doc__)
   p.add_argument("--synthetic", action="store_true")
+  p.add_argument("--task", default=None,
+                 help="a registered task name (see data/registry.py)")
+  p.add_argument("--dataset", default=None,
+                 help="dataset config shorthand (e.g. maestrov3)")
+  p.add_argument("--split", default="train")
+  p.add_argument("--data_root", default=None,
+                 help="local mirror root for gs:// dataset paths")
+  p.add_argument("--velocity_bins", type=int, default=1,
+                 help="vocab velocity bins for --dataset (1=mt3 family, "
+                      "127=ismir2021 family)")
   p.add_argument("--full_song", action="store_true")
   p.add_argument("--n", type=int, default=2)
   p.add_argument("--decode_events", action="store_true",
@@ -29,15 +48,33 @@ def main():
   from music_spectrogram_diffusion_tpu.midi import (run_length, sequences,
                                                     vocabularies)
 
-  if not args.synthetic:
-    raise NotImplementedError("only --synthetic sources in this env")
-
-  task = tasks.Task(
-      name="dump", source_fn=lambda: synthetic.synthetic_source(
-          args.n, duration=8.0),
-      audio_codec=codecs.MelGan(),
-      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
-      note_rep=tasks.NoteRepresentationConfig(include_ties=True))
+  if args.synthetic:
+    task = tasks.Task(
+        name="dump", source_fn=lambda: synthetic.synthetic_source(
+            args.n, duration=8.0),
+        audio_codec=codecs.MelGan(),
+        vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+        note_rep=tasks.NoteRepresentationConfig(include_ties=True))
+  elif args.task:
+    from music_spectrogram_diffusion_tpu.data import registry
+    registry.register_all_tasks(data_root=args.data_root)
+    if args.task not in tasks.TASK_REGISTRY:
+      p.error(f"unknown task {args.task!r}; registered: "
+              f"{sorted(tasks.TASK_REGISTRY)}")
+    task = tasks.TASK_REGISTRY[args.task]
+  elif args.dataset:
+    from music_spectrogram_diffusion_tpu.data import datasets, registry
+    if args.dataset not in datasets.ALL_DATASET_CONFIGS:
+      p.error(f"unknown dataset {args.dataset!r}; "
+              f"known: {sorted(datasets.ALL_DATASET_CONFIGS)}")
+    vocab_config = vocabularies.VocabularyConfig(
+        num_velocity_bins=args.velocity_bins)
+    task = registry.make_dataset_task(
+        datasets.ALL_DATASET_CONFIGS[args.dataset], args.split,
+        vocab_config=vocab_config, data_root=args.data_root)
+    print(f"task: {task.name}")
+  else:
+    p.error("pick a source: --synthetic, --task NAME, or --dataset NAME")
 
   lengths = {"inputs": args.inputs_length,
              "targets": args.targets_length,

@@ -118,13 +118,16 @@ def main():
         name="eval", source_fn=lambda: synthetic.synthetic_source(
             args.songs, duration=10.0, seed=args.seed),
         audio_codec=model.audio_codec,
-        vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
-        note_rep=tasks.NoteRepresentationConfig(include_ties=True),
-        with_context=experiment.with_context)
+        vocab_config=experiment.vocab_config(),
+        note_rep=experiment.note_rep(),
+        with_context=experiment.with_context,
+        program_granularity=experiment.program_granularity)
   else:
     task = registry.make_dataset_task(
         datasets.ALL_DATASET_CONFIGS[args.dataset], args.split,
-        vocab_config=registry.VOCAB_CONFIG_NOVELOCITY,
+        vocab_config=experiment.vocab_config(),
+        note_rep=experiment.note_rep(),
+        program_granularity=experiment.program_granularity,
         with_context=experiment.with_context,
         data_root=args.data_root,
         audio_codec=model.audio_codec)
@@ -135,15 +138,18 @@ def main():
     # Bound song count by CUTTING the segment stream (take_while, not
     # filter: filter would keep tokenizing + mel-encoding the rest of
     # the split just to discard it); group_songs drops the trailing
-    # partial song below.
-    songs_seen = set()
+    # partial song below. The seen-set is rebuilt per iteration so the
+    # bounded dataset can be iterated more than once.
+    def make_within_limit():
+      songs_seen = set()
 
-    def within_limit(ex):
-      key = ex.get("id", "")
-      key = key.decode() if isinstance(key, bytes) else str(key)
-      songs_seen.add(key)
-      return len(songs_seen) <= args.songs
-    ds = ds.take_while(within_limit)
+      def within_limit(ex):
+        key = ex.get("id", "")
+        key = key.decode() if isinstance(key, bytes) else str(key)
+        songs_seen.add(key)
+        return len(songs_seen) <= args.songs
+      return within_limit
+    ds = ds.take_while_stateful(make_within_limit)
   songs = evaluation.group_songs(ds)
   if args.num_shards > 1:
     keys = sorted(songs)

@@ -25,6 +25,8 @@ def main():
                  help="DATAxMODEL, e.g. 4x2 (default: all devices as DP)")
   p.add_argument("--synthetic", action="store_true",
                  help="train on the generated sine dataset")
+  p.add_argument("--synthetic_examples", type=int, default=64,
+                 help="synthetic dataset size (--synthetic only)")
   p.add_argument("--dataset", default="maestrov3",
                  help="dataset config name, or 'mega' for the full "
                       "example-proportional mixture (requires TFRecords)")
@@ -37,6 +39,7 @@ def main():
   p.add_argument("--data_threads", type=int, default=8,
                  help="post-cache transform thread pool size")
   p.add_argument("--log_period", type=int, default=100)
+  p.add_argument("--checkpoint_period", type=int, default=None)
   p.add_argument("--seed", type=int, default=0)
   # Multi-host: run the same command on every host (see
   # parallel/multihost.py for the launch procedure).
@@ -75,6 +78,10 @@ def main():
     experiment = dataclasses.replace(
         experiment, train=dataclasses.replace(
             experiment.train, batch_size=args.batch))
+  if args.checkpoint_period:
+    experiment = dataclasses.replace(
+        experiment, train=dataclasses.replace(
+            experiment.train, checkpoint_period=args.checkpoint_period))
 
   if args.mesh:
     data_par, model_par = map(int, args.mesh.split("x"))
@@ -96,13 +103,26 @@ def main():
   if args.synthetic:
     task = tasks.Task(
         name=f"train_{args.preset}",
-        source_fn=lambda: synthetic.synthetic_source(64, duration=12.0),
+        source_fn=lambda: synthetic.synthetic_source(
+            args.synthetic_examples, duration=12.0),
         audio_codec=model.audio_codec,
-        vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
-        note_rep=tasks.NoteRepresentationConfig(include_ties=True),
-        with_context=experiment.with_context)
+        vocab_config=experiment.vocab_config(),
+        note_rep=experiment.note_rep(),
+        with_context=experiment.with_context,
+        program_granularity=experiment.program_granularity)
+    if args.cache_root:
+      # Tokenize + render the synthetic set once; epochs then stream
+      # the chunk cache from disk instead of re-rendering every song.
+      import os as _os
+      from music_spectrogram_diffusion_tpu.data import cache as cache_lib
+      cache_dir = _os.path.join(args.cache_root, task.name)
+      if not cache_lib.cache_exists(cache_dir):
+        meta = task.build_cache(cache_dir)
+        print(f"built synthetic cache: {meta}")
+      task.cache_dir = cache_dir
     ds = task.model_dataset(lengths, training=True, seed=args.seed,
-                            shuffle_buffer_size=args.shuffle_buffer).repeat()
+                            shuffle_buffer_size=args.shuffle_buffer,
+                            num_threads=args.data_threads).repeat()
   elif args.dataset == "mega":
     from music_spectrogram_diffusion_tpu.data import registry
     registry.register_all_tasks(data_root=args.data_root,
@@ -124,7 +144,9 @@ def main():
     config = datasets.ALL_DATASET_CONFIGS[args.dataset]
     task = registry.make_dataset_task(
         config, config.train_split,
-        vocab_config=registry.VOCAB_CONFIG_NOVELOCITY,
+        vocab_config=experiment.vocab_config(),
+        note_rep=experiment.note_rep(),
+        program_granularity=experiment.program_granularity,
         with_context=experiment.with_context,
         data_root=args.data_root,
         audio_codec=model.audio_codec,

@@ -4,6 +4,10 @@
       --model_dir /tmp/vocoder --synthetic --steps 1000 \
       [--adversarial] [--batch 8] [--segment_frames 64]
 
+  # Real dataset audio (TFRecords mirrored locally):
+  python -m music_spectrogram_diffusion_tpu.cli.train_vocoder \
+      --model_dir /tmp/vocoder --dataset maestrov3 --data_root /mirror
+
 Reconstruction objective by default (multi-resolution STFT + waveform
 L1); --adversarial adds the SoundStream GAN losses.
 """
@@ -21,6 +25,13 @@ def main():
   p = argparse.ArgumentParser(description=__doc__)
   p.add_argument("--model_dir", required=True)
   p.add_argument("--synthetic", action="store_true")
+  p.add_argument("--dataset", default=None,
+                 help="dataset config name (e.g. maestrov3); audio is "
+                      "read from its TFRecords via --data_root")
+  p.add_argument("--split", default=None,
+                 help="dataset split (default: the train split)")
+  p.add_argument("--data_root", default=None,
+                 help="local mirror root for gs:// dataset paths")
   p.add_argument("--steps", type=int, default=1000)
   p.add_argument("--batch", type=int, default=8)
   p.add_argument("--segment_frames", type=int, default=64)
@@ -40,8 +51,8 @@ def main():
   from music_spectrogram_diffusion_tpu.data import synthetic
   from music_spectrogram_diffusion_tpu.train import checkpoints
 
-  if not args.synthetic:
-    raise NotImplementedError("only --synthetic audio sources in this env")
+  if not args.synthetic and not args.dataset:
+    p.error("pick an audio source: --synthetic or --dataset NAME")
 
   codec = codecs.MelGan()
   decoder = vocoder.SoundStreamDecoder(
@@ -56,12 +67,35 @@ def main():
   state = trainer.create_state(jax.random.PRNGKey(args.seed),
                                mel_frames=args.segment_frames)
 
-  def clips():
-    rng = np.random.RandomState(args.seed)
-    while True:
-      ns = synthetic.random_note_sequence(rng, duration=6.0)
-      yield synthetic.render_note_sequence(ns, codec.sample_rate,
-                                           duration=6.0)
+  if args.synthetic:
+    def clips():
+      rng = np.random.RandomState(args.seed)
+      while True:
+        ns = synthetic.random_note_sequence(rng, duration=6.0)
+        yield synthetic.render_note_sequence(ns, codec.sample_rate,
+                                             duration=6.0)
+  else:
+    from music_spectrogram_diffusion_tpu.data import datasets, registry
+    from music_spectrogram_diffusion_tpu.midi import vocabularies
+    if args.dataset not in datasets.ALL_DATASET_CONFIGS:
+      p.error(f"unknown dataset {args.dataset!r}; "
+              f"known: {sorted(datasets.ALL_DATASET_CONFIGS)}")
+    config = datasets.ALL_DATASET_CONFIGS[args.dataset]
+    split = args.split or config.train_split
+    # The per-dataset tokenizers own the audio decode/resample rules
+    # (wav bytes vs float features, stem mixes); the vocoder just takes
+    # the 16 kHz 'audio' they emit and ignores the note features.
+    from music_spectrogram_diffusion_tpu.data import tasks as tasks_lib
+    source = registry.dataset_source(
+        config, split, codec,
+        vocabularies.build_codec(registry.VOCAB_CONFIG_NOVELOCITY),
+        tasks_lib.NoteRepresentationConfig(), data_root=args.data_root)
+    print(f"audio source: {args.dataset}/{split}")
+
+    def clips():
+      while True:
+        for ex in source:
+          yield np.asarray(ex["audio"], np.float32)
 
   batches = vocoder_train.vocoder_batches(
       clips(), codec, segment_frames=args.segment_frames,

@@ -117,11 +117,34 @@ class ExperimentConfig:
   # `diffusion` and use `ar_output` as the output head.
   model_family: str = "diffusion"
   ar_output: str = "deterministic"  # 'deterministic' | 'gaussian_mixture'
+  # Task vocabulary/representation (reference gin/tasks/*.gin): the mt3
+  # family uses 1 velocity bin + ties + 'full' programs; the ismir2021
+  # piano family uses 127 bins, no ties, 'flat' programs.
+  num_velocity_bins: int = 1
+  onsets_only: bool = False
+  include_ties: bool = True
+  program_granularity: str = "full"
+
+  def vocab_config(self):
+    from music_spectrogram_diffusion_tpu.midi import vocabularies
+    return vocabularies.VocabularyConfig(
+        num_velocity_bins=self.num_velocity_bins)
+
+  def note_rep(self):
+    from music_spectrogram_diffusion_tpu.data import tasks
+    return tasks.NoteRepresentationConfig(
+        onsets_only=self.onsets_only, include_ties=self.include_ties)
 
   def network(self) -> network.NetworkConfig:
+    vocab_size = self.vocab_size
+    if vocab_size is None and self.num_velocity_bins != 1:
+      from music_spectrogram_diffusion_tpu.midi import vocabularies
+      vocab = vocabularies.vocabulary_from_codec(
+          vocabularies.build_codec(self.vocab_config()))
+      vocab_size = padded_vocab_size(vocab.vocab_size)
     return network_config(
         self.size, with_context=self.with_context,
-        vocab_size=self.vocab_size, dtype=self.dtype,
+        vocab_size=vocab_size, dtype=self.dtype,
         dropout_rate=self.dropout_rate)
 
   def to_json(self) -> str:
@@ -165,6 +188,17 @@ def preset(name: str) -> ExperimentConfig:
       "ar_base": ExperimentConfig(size="base", with_context=False,
                                   model_family="autoregressive"),
   }
+  # ismir2021 piano family (reference gin/tasks/ismir2021.gin): MAESTRO
+  # only, 127 velocity bins, 'flat' program granularity, no tie section,
+  # targets 512 frames, 400k steps, no segment context.
+  for sz in ("tiny", "small", "base"):
+    presets[f"ismir2021_{sz}"] = ExperimentConfig(
+        size=sz, with_context=False,
+        task_lengths=TaskLengths(inputs=2048, targets=512,
+                                 targets_context=512),
+        train=TrainConfig(train_steps=400_000),
+        num_velocity_bins=127, include_ties=False,
+        program_granularity="flat")
   if name not in presets:
     raise ValueError(f"Unknown preset {name!r}; have {sorted(presets)}")
   return presets[name]

@@ -95,6 +95,12 @@ def write_cache(ds: core.Dataset, cache_dir: str,
   num_examples / num_shards — feeds example-proportional mixture rates).
   """
   os.makedirs(cache_dir, exist_ok=True)
+  # Drop the metadata FIRST so an interrupted rebuild leaves a cache
+  # that cache_exists() reports absent (and gets re-tokenized) instead
+  # of a half-built shard set with stale example counts.
+  meta_path = os.path.join(cache_dir, METADATA_FILE)
+  if os.path.exists(meta_path):
+    os.remove(meta_path)
   # A rebuild may need FEWER shards (bigger shards / shrunk dataset);
   # stale leftovers would be globbed back in by read_cache and silently
   # duplicate examples, so clear the old build first.
@@ -115,8 +121,12 @@ def write_cache(ds: core.Dataset, cache_dir: str,
         os.path.join(cache_dir, SHARD_TEMPLATE.format(shard_idx)), shard)
     shard_idx += 1
   meta = {"num_examples": n, "num_shards": shard_idx}
-  with open(os.path.join(cache_dir, METADATA_FILE), "w") as f:
+  # Atomic publish: the metadata file is the cache's validity marker, so
+  # it must only appear once every shard is fully on disk.
+  tmp_path = meta_path + ".tmp"
+  with open(tmp_path, "w") as f:
     json.dump(meta, f)
+  os.replace(tmp_path, meta_path)
   return meta
 
 

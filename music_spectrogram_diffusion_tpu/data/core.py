@@ -106,6 +106,20 @@ class Dataset:
     return Dataset(
         lambda epoch: itertools.takewhile(pred, self._gen_fn(epoch)))
 
+  def take_while_stateful(
+      self, pred_factory: Callable[[], Callable[[Example], bool]]
+  ) -> "Dataset":
+    """take_while with per-iteration predicate state.
+
+    `pred_factory()` is called at the start of EVERY iteration and must
+    return a fresh predicate, so predicates that accumulate state (e.g.
+    "first N distinct song ids") behave identically when the dataset is
+    iterated more than once — a plain take_while over a stateful closure
+    silently yields nothing on the second pass."""
+    return Dataset(
+        lambda epoch: itertools.takewhile(pred_factory(),
+                                          self._gen_fn(epoch)))
+
   def shuffle(self, buffer_size: int, seed: int = 0) -> "Dataset":
     """Streaming shuffle with a fixed-size reservoir (tf.data semantics);
     the order reshuffles every epoch."""

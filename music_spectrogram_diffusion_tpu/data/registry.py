@@ -172,6 +172,13 @@ def register_all_tasks(data_root: Optional[str] = None,
             name_suffix=split.suffix)
         tasks.register_task(eval_task)
         names.append(eval_task.name)
+  # ismir2021 piano family (reference tasks.py:509-521 registers MAESTRO
+  # with the FULL vocab — 127 velocity bins — and the 'flat' no-ties
+  # representation alongside the no-velocity tasks; gin/tasks/
+  # ismir2021.gin trains on it). Not part of the mega mixture.
+  names.extend(register_ismir2021_tasks(
+      data_root=data_root, with_context=with_context,
+      include_eval_splits=include_eval_splits, cache_root=cache_root))
   mixture = tasks.Mixture(
       name=("synthesis_with_context_mega" if with_context
             else "synthesis_mega"),
@@ -182,3 +189,46 @@ def register_all_tasks(data_root: Optional[str] = None,
           train_counts, temperature=MIXING_TEMPERATURE))
   tasks.register_mixture(mixture)
   return names + [mixture.name]
+
+
+# NoteRepresentationConfig for the ismir2021 piano model: velocities
+# kept (127 bins), no tie section ('flat' decoding, reference
+# gin/tasks/ismir2021.gin ONSETS_ONLY=False USE_TIES=False).
+ISMIR2021_NOTE_REP = tasks.NoteRepresentationConfig(
+    onsets_only=False, include_ties=False)
+
+
+def register_ismir2021_tasks(data_root: Optional[str] = None,
+                             with_context: bool = True,
+                             include_eval_splits: bool = True,
+                             cache_root: Optional[str] = None
+                             ) -> Sequence[str]:
+  """MAESTRO v3 with the full 127-velocity-bin vocab + flat programs.
+
+  Mirrors the reference's piano registrations (tasks.py:509-521, gin/
+  tasks/ismir2021.gin: NUM_VELOCITY_BINS=127, PROGRAM_GRANULARITY='flat',
+  USE_TIES=False).
+  """
+  config = datasets.MAESTROV3_CONFIG
+  names = []
+  task = make_dataset_task(
+      config, config.train_split,
+      vocab_config=VOCAB_CONFIG_FULL,
+      note_rep=ISMIR2021_NOTE_REP,
+      program_granularity="flat",
+      with_context=with_context, data_root=data_root,
+      cache_root=cache_root)
+  tasks.register_task(task)
+  names.append(task.name)
+  if include_eval_splits:
+    for split in config.infer_eval_splits:
+      eval_task = make_dataset_task(
+          config, split.name,
+          vocab_config=VOCAB_CONFIG_FULL,
+          note_rep=ISMIR2021_NOTE_REP,
+          program_granularity="flat",
+          with_context=with_context, data_root=data_root,
+          name_suffix=split.suffix)
+      tasks.register_task(eval_task)
+      names.append(eval_task.name)
+  return names

@@ -35,17 +35,41 @@ class LocalFilesystem:
 
 
 class GcsFsFilesystem:
-  """gs:// via the gcsfs package (when importable)."""
+  """gs:// via the gcsfs package (when importable).
+
+  Tries ambient credentials first (private mirrors / cache buckets),
+  falling back to anonymous access (the published public datasets) the
+  first time a credentialed call fails.
+  """
 
   def __init__(self):
     import gcsfs  # raises ImportError when unavailable
-    self._fs = gcsfs.GCSFileSystem(token="anon")
+    self._gcsfs = gcsfs
+    try:
+      self._fs = gcsfs.GCSFileSystem()  # default application credentials
+      self._anon = False
+    except Exception:
+      self._fs = gcsfs.GCSFileSystem(token="anon")
+      self._anon = True
+
+  def _call(self, op: Callable, *a):
+    try:
+      return op(self._fs, *a)
+    except Exception:
+      if self._anon:
+        raise
+      # Credentialed client failed (expired/invalid creds on a public
+      # bucket): retry anonymously and keep that client.
+      self._fs = self._gcsfs.GCSFileSystem(token="anon")
+      self._anon = True
+      return op(self._fs, *a)
 
   def glob(self, pattern: str) -> List[str]:
-    return [f"gs://{p}" for p in sorted(self._fs.glob(pattern))]
+    return [f"gs://{p}" for p in sorted(
+        self._call(lambda fs, p: fs.glob(p), pattern))]
 
   def open(self, path: str, mode: str = "rb") -> IO:
-    return self._fs.open(path, mode)
+    return self._call(lambda fs, p, m: fs.open(p, m), path, mode)
 
 
 class GsutilCacheFilesystem:

@@ -69,10 +69,16 @@ def evaluate_songs(
 ) -> List[SongEval]:
   """Render + score a set of songs.
 
-  prediction_source: 'model' renders with the model; 'gt_encoded' /
-  'gt_raw' score the ground-truth mel against itself (metric ceilings,
-  reference beam/evaluation.py:70-72). always_mask_context renders every
-  segment without context (reference ablation flag).
+  prediction_source: 'model' renders with the model. 'gt_encoded' uses
+  the ground-truth mel as the prediction (the model-loss-free ceiling;
+  its audio, when vocoded, measures the vocoder roundtrip). 'gt_raw'
+  takes the RAW audio path: the segments' raw samples are the predicted
+  audio and their fresh re-encode through the mel frontend is the
+  predicted mel, so the two ceilings separate codec/framing roundtrip
+  loss from model loss (reference beam/evaluation.py:211-240: gt_raw's
+  pred audio is full_gt_raw_audio, not a codec decode).
+  always_mask_context renders every segment without context (reference
+  ablation flag).
   """
   import jax
   if rng is None:
@@ -94,12 +100,30 @@ def evaluate_songs(
       renders = synth.render_songs(
           token_lists, rng=chunk_rng, vocode=vocode,
           always_mask_context=always_mask_context)
-    elif prediction_source in ("gt_encoded", "gt_raw"):
+    elif prediction_source == "gt_encoded":
       renders = []
       for _, segs in chunk:
         mel = np.concatenate([np.asarray(s["targets"]) for s in segs])
+        audio = None
+        if vocode and synth.vocoder is not None:
+          # Reference decodes the gt mel (beam/evaluation.py:241):
+          # audio-space metrics then measure the vocoder roundtrip.
+          audio = np.asarray(synth.vocoder(mel[None]))[0]
         renders.append(synthesize.SongRender(
-            mel=mel, audio=None, timings={}))
+            mel=mel, audio=audio, timings={}))
+    elif prediction_source == "gt_raw":
+      codec = synth.model.audio_codec
+      renders = []
+      for _, segs in chunk:
+        if "raw_targets" not in segs[0]:
+          raise ValueError(
+              "prediction_source='gt_raw' needs 'raw_targets' in the "
+              "examples (full_song_dataset provides it)")
+        raw = np.concatenate(
+            [np.asarray(s["raw_targets"]) for s in segs])
+        mel = np.asarray(codec.encode_np(raw[None].astype(np.float32))[0])
+        renders.append(synthesize.SongRender(
+            mel=mel, audio=raw, timings={}))
     else:
       raise ValueError(f"unknown prediction_source {prediction_source}")
 
@@ -173,9 +197,17 @@ def aggregate(results: Sequence[SongEval]) -> Dict[str, float]:
       per_song_dist.append(
           metrics_lib.embedding_distance(et[:k], ep[:k]))
     if g_t.n > 1 and g_p.n > 1:
-      out[f"frechet_audio_distance/{space}"] = float(
-          metrics_lib.frechet_distance(g_t.mu, g_t.sigma,
-                                       g_p.mu, g_p.sigma))
+      try:
+        fad = metrics_lib.frechet_distance(g_t.mu, g_t.sigma,
+                                           g_p.mu, g_p.sigma)
+      except ValueError:
+        # Degenerate covariance (few patches / identical populations):
+        # fall back to the diagonal-covariance distance rather than
+        # aborting the whole eval (mirrors mel_spectral_metrics).
+        fad = metrics_lib.frechet_distance(
+            g_t.mu, np.diagonal(g_t.sigma).copy(),
+            g_p.mu, np.diagonal(g_p.sigma).copy())
+      out[f"frechet_audio_distance/{space}"] = float(fad)
       out[f"embedding_distance/{space}"] = float(
           np.mean(per_song_dist))
   out["num_songs"] = len(results)

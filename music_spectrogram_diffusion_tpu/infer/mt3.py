@@ -227,6 +227,131 @@ def greedy_decode(module: MT3Transformer, params, spec_frames: Array,
   return jnp.where(keep, tokens, 0)
 
 
+def _gather_beams(tree, parent: Array, batch: int, beam_size: int):
+  """Reorder the beam-flattened leading dim of every cache/array leaf.
+
+  parent: [batch, beam] indices into the previous beam axis. Leaves
+  whose leading dim is not batch*beam (e.g. the scalar cache_index)
+  pass through untouched.
+  """
+  def gather(x):
+    if x.ndim == 0 or x.shape[0] != batch * beam_size:
+      return x
+    y = x.reshape((batch, beam_size) + x.shape[1:])
+    idx = parent.reshape((batch, beam_size) + (1,) * (x.ndim - 1))
+    y = jnp.take_along_axis(y, idx.astype(jnp.int32), axis=1)
+    return y.reshape((batch * beam_size,) + x.shape[1:])
+  return jax.tree_util.tree_map(gather, tree)
+
+
+def _brevity_penalty(length, alpha: float):
+  """t5x/decoding.py brevity penalty: ((5 + len) / 6) ** alpha."""
+  return jnp.power((5.0 + length) / 6.0, alpha)
+
+
+def beam_decode(module: MT3Transformer, params, spec_frames: Array,
+                frames_mask: Array,
+                max_tokens: int = MAX_OUTPUT_TOKENS,
+                beam_size: int = 4,
+                alpha: float = 0.6,
+                eos_id: int = 1) -> Array:
+  """Beam search with t5x semantics (decoding.py beam_search): an
+  alive pool of `beam_size` prefixes and a finished pool scored with
+  the ((5+len)/6)**alpha brevity penalty; 2*beam_size candidates per
+  step; the KV cache is reindexed along the beam axis each step. Runs
+  as one lax.scan (fixed length, no early exit — max_tokens is modest
+  and XLA keeps the whole loop on device).
+
+  Returns [batch, max_tokens] tokens of the best finished beam (best
+  alive beam when nothing finished), zeroed after the first EOS.
+  """
+  batch = spec_frames.shape[0]
+  k = beam_size
+  NEG_INF = -1e7
+  neg_inf = jnp.asarray(NEG_INF, jnp.float32)
+
+  encoded = module.apply({"params": params}, spec_frames, frames_mask,
+                         method=module.encode)
+  # Beam-flatten: each batch row repeated k times ([b0 b0.. b1 b1..]).
+  encoded = jnp.repeat(encoded, k, axis=0)
+  mask_flat = jnp.repeat(frames_mask, k, axis=0)
+
+  init_tokens = jnp.zeros((batch * k, max_tokens), jnp.int32)
+  _, cache_vars = module.apply(
+      {"params": params}, encoded, mask_flat, init_tokens,
+      mutable=["cache"], method=_preallocate_cache)
+
+  def step(carry, i):
+    cache, cur_token, live_logprobs, live_seqs, fin_scores, fin_seqs = carry
+    logits, updated = module.apply(
+        {"params": params, "cache": cache}, encoded, mask_flat,
+        cur_token.reshape(batch * k, 1),
+        mutable=["cache"], method=module.decode_step)
+    logprobs = jax.nn.log_softmax(
+        logits[:, 0].astype(jnp.float32)).reshape(batch, k, -1)
+    vocab = logprobs.shape[-1]
+
+    total = live_logprobs[:, :, None] + logprobs        # [b, k, V]
+    top_scores, top_idx = jax.lax.top_k(
+        total.reshape(batch, k * vocab), 2 * k)         # [b, 2k]
+    parent = top_idx // vocab
+    token = top_idx % vocab
+    is_eos = token == eos_id
+
+    # Candidate sequences: parent's prefix + the new token at slot i.
+    onehot = jax.nn.one_hot(i, max_tokens, dtype=live_seqs.dtype)
+    cand_seqs = jnp.take_along_axis(
+        live_seqs, parent[:, :, None], axis=1)          # [b, 2k, L]
+    cand_seqs = cand_seqs * (1 - onehot) + token[:, :, None] * onehot
+
+    # Finished pool: EOS candidates, brevity-normalized, merged with
+    # the existing pool; keep the top k.
+    cand_fin = jnp.where(
+        is_eos, top_scores / _brevity_penalty(i + 1.0, alpha), neg_inf)
+    all_fin_scores = jnp.concatenate([fin_scores, cand_fin], axis=1)
+    all_fin_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+    fin_scores, fin_top = jax.lax.top_k(all_fin_scores, k)
+    fin_seqs = jnp.take_along_axis(
+        all_fin_seqs, fin_top[:, :, None], axis=1)
+
+    # Alive pool: best k non-EOS candidates.
+    cand_live = jnp.where(is_eos, neg_inf, top_scores)
+    live_logprobs, live_top = jax.lax.top_k(cand_live, k)
+    live_parent = jnp.take_along_axis(parent, live_top, axis=1)
+    cur_token = jnp.take_along_axis(token, live_top, axis=1)
+    live_seqs = jnp.take_along_axis(
+        cand_seqs, live_top[:, :, None], axis=1)
+    cache = _gather_beams(updated["cache"], live_parent, batch, k)
+    return (cache, cur_token, live_logprobs, live_seqs,
+            fin_scores, fin_seqs), None
+
+  # Only beam 0 starts alive (identical prefixes would fill the beam
+  # with k copies of the same hypothesis on the first step).
+  live_logprobs0 = jnp.tile(
+      jnp.asarray([0.0] + [NEG_INF] * (k - 1))[None, :], (batch, 1))
+  carry0 = (
+      cache_vars["cache"],
+      jnp.zeros((batch, k), jnp.int32),                 # BOS = 0
+      live_logprobs0,
+      jnp.zeros((batch, k, max_tokens), jnp.int32),
+      jnp.full((batch, k), NEG_INF, jnp.float32),
+      jnp.zeros((batch, k, max_tokens), jnp.int32),
+  )
+  (_, _, live_logprobs, live_seqs, fin_scores, fin_seqs), _ = jax.lax.scan(
+      step, carry0, jnp.arange(max_tokens))
+
+  # Prefer finished beams; fall back to the best alive prefix when no
+  # hypothesis emitted EOS (t5x decoding.py does the same).
+  none_finished = fin_scores[:, 0] <= neg_inf
+  best_seqs = jnp.where(none_finished[:, None],
+                        live_seqs[:, 0], fin_seqs[:, 0])
+
+  # Zero out everything after the first EOS (keep the EOS itself).
+  after_eos = jnp.cumsum((best_seqs == eos_id).astype(jnp.int32), axis=1)
+  keep = (after_eos - (best_seqs == eos_id).astype(jnp.int32)) == 0
+  return jnp.where(keep, best_seqs, 0)
+
+
 def _preallocate_cache(module: MT3Transformer, encoded: Array,
                        frames_mask: Array, tokens: Array) -> Array:
   """Trace a full-length decode=True pass to allocate the cache."""
@@ -250,7 +375,12 @@ class MT3Transcriber:
   def __init__(self, params,
                vocab_config: Optional[
                    vocabularies.VocabularyConfig] = None,
-               max_tokens: int = MAX_OUTPUT_TOKENS):
+               max_tokens: int = MAX_OUTPUT_TOKENS,
+               decode_mode: str = "beam",
+               beam_size: int = 4,
+               alpha: float = 0.6):
+    """decode_mode: 'beam' (t5x beam search, the reference's decode —
+    transcription_inference.py:151-155) or 'greedy' (cheaper)."""
     self.vocab_config = vocab_config or vocabularies.VocabularyConfig(
         num_velocity_bins=1)
     self.codec = vocabularies.build_codec(self.vocab_config)
@@ -259,8 +389,15 @@ class MT3Transcriber:
     self.module = MT3Transformer(config=MT3Config(vocab_size=vocab_size))
     self.params = params
     self.max_tokens = max_tokens
-    self._decode = jax.jit(functools.partial(
-        greedy_decode, self.module, max_tokens=max_tokens))
+    if decode_mode == "beam":
+      self._decode = jax.jit(functools.partial(
+          beam_decode, self.module, max_tokens=max_tokens,
+          beam_size=beam_size, alpha=alpha))
+    elif decode_mode == "greedy":
+      self._decode = jax.jit(functools.partial(
+          greedy_decode, self.module, max_tokens=max_tokens))
+    else:
+      raise ValueError(f"unknown decode_mode {decode_mode!r}")
 
   def __call__(self, audio: np.ndarray) -> sequences.NoteSequence:
     spec = spectrogram(audio)
@@ -305,13 +442,35 @@ class MT3Transcriber:
 # checkpoint's tree when it is mirrored (tools: train/checkpoints.py
 # load_t5x_checkpoint prints unmapped names).
 _MT3_RENAMES = [
-    (r"pre_attention_layer_norm", "pre_attention_norm"),
     (r"pre_self_attention_layer_norm", "pre_self_attention_norm"),
     (r"pre_cross_attention_layer_norm", "pre_cross_attention_norm"),
+    (r"pre_attention_layer_norm", "pre_attention_norm"),
     (r"pre_mlp_layer_norm", "pre_mlp_norm"),
-    (r"\battention\b", "attention"),
     (r"continuous_inputs_projection", "input_proj"),
+    # t5x keeps the shared embedder at the checkpoint top level
+    # (network.py shared_embedding -> 'token_embedder'); only the
+    # decoder uses it here (the encoder input is continuous).
+    (r"^token_embedder/", "decoder/token_embedder/"),
 ]
+
+
+def remap_mt3_params(params):
+  """t5x/mt3 checkpoint param tree -> MT3Transformer param tree.
+
+  Tested structurally against module.init for the MT3 geometry
+  (tests/test_mt3.py::test_mt3_remap_matches_module_tree).
+  """
+  import re
+
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  def rename(k: str) -> str:
+    for pat, rep in _MT3_RENAMES:
+      k = re.sub(pat, rep, k)
+    return k
+
+  flat = checkpoints._flatten(params)
+  return checkpoints._unflatten({rename(k): v for k, v in flat.items()})
 
 
 def load_mt3_checkpoint(path: str):
@@ -321,18 +480,8 @@ def load_mt3_checkpoint(path: str):
   remapped parameter tree. Structural validation happens on first
   module.apply (flax raises on any mismatch).
   """
-  import re
-
   from music_spectrogram_diffusion_tpu.train import checkpoints
-  params = checkpoints.load_t5x_checkpoint(path)
-
-  def rename(k: str) -> str:
-    for pat, rep in _MT3_RENAMES:
-      k = re.sub(pat, rep, k)
-    return k
-
-  flat = checkpoints._flatten(params)
-  return checkpoints._unflatten({rename(k): v for k, v in flat.items()})
+  return remap_mt3_params(checkpoints.load_t5x_checkpoint(path))
 
 
 def register(checkpoint_path: Optional[str] = None,

@@ -852,8 +852,16 @@ def _flash_diff_bwd(cfg, res, dout):
   # the zero cotangent is dead code XLA removes. Do NOT route a learned
   # additive bias through this wrapper.
   dbias = None if bias is None else jnp.zeros_like(bias)
-  dmask = None if kv_mask is None else np.zeros(
-      kv_mask.shape, dtype=jax.dtypes.float0)
+  # Masks are non-differentiable pass-throughs here, but the cotangent
+  # dtype must still match JAX's convention: inexact masks (callers cast
+  # bool masks to the compute dtype) get a zero of the same dtype,
+  # integer/bool masks get float0.
+  if kv_mask is None:
+    dmask = None
+  elif jnp.issubdtype(kv_mask.dtype, jnp.inexact):
+    dmask = jnp.zeros_like(kv_mask)
+  else:
+    dmask = np.zeros(kv_mask.shape, dtype=jax.dtypes.float0)
   return dq, dk, dv, dbias, dmask
 
 

@@ -57,3 +57,73 @@ def test_evaluate_cli_real_dataset_path(tmp_path, monkeypatch):
   assert metrics["num_songs"] == 2
   assert np.isfinite(metrics["mel_l2"])
   assert metrics["timing/audio_seconds"] > 0
+
+
+def test_gt_raw_differs_from_gt_encoded():
+  """The two metric-ceiling sources must take distinct paths (reference
+  beam/evaluation.py:211-240): gt_raw's predicted AUDIO is the raw
+  segment audio itself (audio-space FAD ~ 0, the perfect-prediction
+  ceiling) while gt_encoded's is the vocoded target mel (audio-space
+  FAD > 0, the vocoder-roundtrip ceiling). In mel space both equal the
+  target: gt_raw's fresh re-encode of the raw audio must reproduce the
+  pipeline's targets bit-near-exactly — that pins the
+  additional_frames_for_encoding clean-framing invariant.
+  """
+  import jax
+  import jax.numpy as jnp
+
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.audio import vocoder as vocoder_lib
+  from music_spectrogram_diffusion_tpu.data import synthetic, tasks
+  from music_spectrogram_diffusion_tpu.infer import evaluation, synthesize
+  from music_spectrogram_diffusion_tpu.midi import vocabularies
+  from music_spectrogram_diffusion_tpu.models.diffusion import (
+      model as model_lib, network)
+  from music_spectrogram_diffusion_tpu.ops import diffusion as dops
+
+  lengths = {"inputs": 256, "targets": 32, "targets_context": 32}
+  net_cfg = cfg_lib.network_config("tiny", with_context=True,
+                                   vocab_size=256, dropout_rate=0.0)
+  module = network.ContextTransformer(config=net_cfg)
+  dcfg = dops.DiffusionConfig(sampler=dops.SamplerConfig(num_steps=2))
+  model = model_lib.ContextDiffusionModel(module, dcfg, codecs.MelGan())
+  shapes = {
+      "encoder_input_tokens": (1, lengths["inputs"]),
+      "encoder_continuous_inputs": (1, lengths["targets_context"], 128),
+      "encoder_continuous_mask": (1, lengths["targets_context"]),
+      "decoder_target_tokens": (1, lengths["targets"], 128),
+  }
+  types = {"encoder_input_tokens": jnp.int32,
+           "encoder_continuous_mask": jnp.bool_}
+  params = model.init_variables(
+      jax.random.PRNGKey(0), shapes, types)["params"]
+  synth = synthesize.Synthesizer(
+      model, params, lengths,
+      vocoder=vocoder_lib.GriffinLimVocoder(num_iters=2))
+
+  task = tasks.Task(
+      name="eval_gt",
+      source_fn=lambda: synthetic.synthetic_source(1, duration=1.5),
+      audio_codec=model.audio_codec,
+      vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
+      note_rep=tasks.NoteRepresentationConfig(include_ties=True),
+      with_context=True)
+  songs = evaluation.group_songs(task.full_song_dataset(lengths))
+  assert songs and "raw_targets" in next(iter(songs.values()))[0]
+
+  r_enc = evaluation.evaluate_songs(
+      synth, songs, vocode=True, prediction_source="gt_encoded")
+  r_raw = evaluation.evaluate_songs(
+      synth, songs, vocode=True, prediction_source="gt_raw")
+  # Mel space: gt_encoded is exact by definition; gt_raw's re-encode
+  # reproduces the pipeline targets (clean-framing invariant).
+  assert r_enc[0].metrics["mel_l2"] == 0.0
+  assert r_raw[0].metrics["mel_l2"] < 1e-9
+  # Audio space: gt_raw's prediction IS the target audio -> FAD ~ 0;
+  # gt_encoded's is the Griffin-Lim roundtrip -> strictly worse.
+  key = "frechet_audio_distance/mel"
+  agg_enc = evaluation.aggregate(r_enc)
+  agg_raw = evaluation.aggregate(r_raw)
+  assert agg_raw[key] < 1e-6
+  assert agg_enc[key] > 1e-3

@@ -86,3 +86,119 @@ def test_transcriber_end_to_end_random_weights():
     assert transcription.get_transcriber() is t
   finally:
     transcription.register_transcriber(None)
+
+
+def test_beam_decode_shape_and_eos_invariant():
+  t = _tiny_transcriber()
+  spec = jnp.asarray(np.random.RandomState(0).randn(
+      2, 8, mt3.NUM_MEL_BINS).astype(np.float32) * 0.1)
+  mask = jnp.ones((2, 8), bool)
+  import functools
+  beam = jax.jit(functools.partial(
+      mt3.beam_decode, t.module, max_tokens=t.max_tokens, beam_size=3))
+  tokens = np.asarray(beam(t.params, spec, mask))
+  assert tokens.shape == (2, t.max_tokens)
+  for row in tokens:
+    if (row == 1).any():
+      first = int(np.argmax(row == 1))
+      assert np.all(row[first + 1:] == 0)
+  # Deterministic.
+  np.testing.assert_array_equal(tokens, np.asarray(beam(t.params, spec,
+                                                        mask)))
+
+
+def test_beam_decode_score_not_worse_than_greedy():
+  """With alpha=0 (no brevity penalty) the beam-search sequence
+  log-probability must be >= the greedy sequence's — beam explores a
+  superset of greedy's single path."""
+  t = _tiny_transcriber()
+  rng = np.random.RandomState(3)
+  spec = jnp.asarray(rng.randn(1, 8, mt3.NUM_MEL_BINS).astype(
+      np.float32) * 0.5)
+  mask = jnp.ones((1, 8), bool)
+  import functools
+  greedy_toks = np.asarray(t._decode(t.params, spec, mask))
+  beam = jax.jit(functools.partial(
+      mt3.beam_decode, t.module, max_tokens=t.max_tokens, beam_size=4,
+      alpha=0.0))
+  beam_toks = np.asarray(beam(t.params, spec, mask))
+
+  def seq_logprob(tokens):
+    # Teacher-forced score of [BOS] + tokens[:-1] -> tokens, up to and
+    # including the first EOS (or the full length without one).
+    inputs = np.concatenate([[0], tokens[:-1]])[None].astype(np.int32)
+    logits = t.module.apply({"params": t.params}, spec, mask,
+                            jnp.asarray(inputs),
+                            jnp.asarray(tokens[None].astype(np.int32)))
+    logp = jax.nn.log_softmax(np.asarray(logits, np.float64), axis=-1)[0]
+    end = (int(np.argmax(tokens == 1)) + 1 if (tokens == 1).any()
+           else len(tokens))
+    return float(sum(logp[i, tokens[i]] for i in range(end)))
+
+  assert seq_logprob(beam_toks[0]) >= seq_logprob(greedy_toks[0]) - 1e-4
+
+
+def test_mt3_remap_matches_module_tree():
+  """Structural identity: a t5x/mt3-shaped checkpoint tree remaps onto
+  EXACTLY the module.init tree (same flat names, same shapes). Pins
+  load_mt3_checkpoint's rename table against the real t5x naming
+  (t5x network.py: *_layer_norm, top-level token_embedder,
+  continuous_inputs_projection; mt3 has no relpos_bias — fixed
+  sinusoidal positions)."""
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  t = _tiny_transcriber()
+  d, mlp, heads = 32, 64, 32  # emb_dim, mlp_dim, heads*head_dim
+  vocab = t.module.config.vocab_size
+
+  def attn():
+    return {n: {"kernel": np.zeros((d, heads), np.float32)}
+            for n in ("query", "key", "value")} | {
+                "out": {"kernel": np.zeros((heads, d), np.float32)}}
+
+  def mlp_block():
+    return {"wi_0": {"kernel": np.zeros((d, mlp), np.float32)},
+            "wi_1": {"kernel": np.zeros((d, mlp), np.float32)},
+            "wo": {"kernel": np.zeros((mlp, d), np.float32)}}
+
+  def enc_layer():
+    return {
+        "pre_attention_layer_norm": {"scale": np.zeros(d, np.float32)},
+        "attention": attn(),
+        "pre_mlp_layer_norm": {"scale": np.zeros(d, np.float32)},
+        "mlp": mlp_block(),
+    }
+
+  def dec_layer():
+    return {
+        "pre_self_attention_layer_norm":
+            {"scale": np.zeros(d, np.float32)},
+        "self_attention": attn(),
+        "pre_cross_attention_layer_norm":
+            {"scale": np.zeros(d, np.float32)},
+        "encoder_decoder_attention": attn(),
+        "pre_mlp_layer_norm": {"scale": np.zeros(d, np.float32)},
+        "mlp": mlp_block(),
+    }
+
+  t5x_tree = {
+      "token_embedder": {
+          "embedding": np.zeros((vocab, d), np.float32)},
+      "encoder": {
+          "continuous_inputs_projection": {
+              "kernel": np.zeros((mt3.NUM_MEL_BINS, d), np.float32)},
+          "layers_0": enc_layer(),
+          "layers_1": enc_layer(),
+          "encoder_norm": {"scale": np.zeros(d, np.float32)},
+      },
+      "decoder": {
+          "layers_0": dec_layer(),
+          "layers_1": dec_layer(),
+          "decoder_norm": {"scale": np.zeros(d, np.float32)},
+          "logits_dense": {"kernel": np.zeros((d, vocab), np.float32)},
+      },
+  }
+  remapped = mt3.remap_mt3_params(t5x_tree)
+  got = {k: v.shape for k, v in checkpoints._flatten(remapped).items()}
+  want = {k: v.shape for k, v in checkpoints._flatten(t.params).items()}
+  assert got == want

@@ -51,10 +51,14 @@ def test_register_all_tasks_names():
   assert any("maestrov3" in n for n in names)
   assert any("slakh" in n for n in names)
   assert any(n.endswith("_mega") for n in names)
-  # 6 train tasks + one eval task per InferEvalSplit of each dataset.
+  # 6 mixture train tasks + the ismir2021 piano train task + one eval
+  # task per InferEvalSplit of each dataset.
   train_names = [n for n in names
                  if n.endswith("_train") and not n.endswith("_eval_train")]
-  assert len(train_names) == 6
+  assert len(train_names) == 7
+  # The piano family keeps velocities (no vb1 marker) and drops ties.
+  piano = [n for n in train_names if "vb1" not in n]
+  assert len(piano) == 1 and "ties" not in piano[0]
   assert any(n.endswith("_validation") for n in names)
   assert any(n.endswith("_validation_full") for n in names)
   for n in names:
@@ -62,3 +66,89 @@ def test_register_all_tasks_names():
       assert n in tasks.MIXTURE_REGISTRY
     else:
       assert n in tasks.TASK_REGISTRY
+
+
+def _write_piano_shard(path, velocities, duration=4.0):
+  """One MAESTRO-style record with one note per requested velocity."""
+  ns = synthetic.sequences.NoteSequence()
+  for i, vel in enumerate(velocities):
+    ns.add(start_time=0.25 * i, end_time=0.25 * i + 0.2,
+           pitch=60 + i, velocity=int(vel), program=0)
+  synthetic.sequences.assign_instruments(ns)
+  audio = synthetic.render_note_sequence(ns, 16000, duration=duration)
+  record = datasets.serialize_example({
+      "sequence": proto.serialize_note_sequence(ns),
+      "audio": wav_io.encode_wav(audio, 16000),
+      "id": "piano-0",
+  })
+  datasets.write_tfrecord(path, [record])
+
+
+def test_ismir2021_task_velocities_roundtrip(tmp_path):
+  """ismir2021 family: 127 velocity bins survive task tokenization.
+
+  Mirrors reference gin/tasks/ismir2021.gin (NUM_VELOCITY_BINS=127,
+  USE_TIES=False, PROGRAM_GRANULARITY='flat'): velocity events must
+  appear in the token stream with distinct bins and decode back to the
+  original note velocities.
+  """
+  import dataclasses
+
+  from music_spectrogram_diffusion_tpu.midi import (run_length, sequences,
+                                                    vocabularies)
+
+  shard = os.path.join(tmp_path, "maestro-piano.tfrecord")
+  velocities = [100, 80, 60, 127, 10]
+  _write_piano_shard(shard, velocities)
+
+  config = dataclasses.replace(
+      datasets.MAESTROV3_CONFIG, paths={"train": shard})
+  task = registry.make_dataset_task(
+      config, "train", vocab_config=registry.VOCAB_CONFIG_FULL,
+      note_rep=registry.ISMIR2021_NOTE_REP,
+      program_granularity="flat", with_context=False)
+  # Full vocab is the default config -> no vb marker; no tie section.
+  assert "vb1" not in task.name and "ties" not in task.name
+
+  lengths = {"inputs": 2048, "targets": 512, "targets_context": 512}
+  ex = task.full_song_dataset(lengths).first()
+
+  # Velocity events with >1 distinct non-zero bins are in the stream.
+  codec = task.codec
+  ids = task.vocabulary.decode(np.asarray(ex["inputs"]))
+  ids = ids[ids >= 0]
+  lo, hi = codec.event_type_range("velocity")
+  vel_bins = ids[(ids >= lo) & (ids <= hi)] - lo
+  assert len(set(int(b) for b in vel_bins if b > 0)) >= len(set(velocities))
+
+  # Round-trip: decode the segment's tokens back to notes; with 127
+  # bins velocity quantization is exact.
+  spec = sequences.NoteEncodingSpec
+  state = spec.init_decoding_state_fn()
+  spec.begin_decoding_segment_fn(state)
+  invalid, dropped = run_length.decode_events(
+      state, ids, 0.0, None, codec, spec.decode_event_fn)
+  assert invalid == 0 and dropped == 0
+  decoded = spec.flush_decoding_state_fn(state)
+  got = sorted((n.pitch, n.velocity) for n in decoded.notes)
+  want = sorted((60 + i, v) for i, v in enumerate(velocities))
+  assert got == want
+
+
+def test_ismir2021_preset_geometry():
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+
+  exp = cfg_lib.preset("ismir2021_small")
+  assert not exp.with_context
+  assert exp.task_lengths.targets == 512
+  assert exp.train.train_steps == 400_000
+  assert exp.num_velocity_bins == 127
+  assert not exp.include_ties
+  assert exp.program_granularity == "flat"
+  # The network vocab is sized for the 127-bin codec, larger than the
+  # no-velocity vocab of the mt3-family presets.
+  mt3_vocab = cfg_lib.preset("context_small").network().vocab_size
+  assert exp.network().vocab_size > mt3_vocab
+  # Config JSON round-trips the new vocabulary fields.
+  back = cfg_lib.ExperimentConfig.from_json(exp.to_json())
+  assert back == exp
