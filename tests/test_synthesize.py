@@ -98,6 +98,15 @@ def test_render_songs_batched_matches_single():
   # the same song still renders deterministically in either setting.
   assert both[1].mel.shape == solo_b_first.mel.shape
   assert both[0].mel.shape[0] == 2 * LENGTHS["targets"]
+  # Row 1's render must be independent of its batch neighbour: keys fold
+  # in the song POSITION, so song_b at position 1 renders identically
+  # whatever occupies position 0.
+  song_c = [np.arange(7, 31, dtype=np.int32)] * 2
+  swapped = synth.render_songs([song_c, song_b],
+                               rng=jax.random.PRNGKey(5), vocode=False)
+  np.testing.assert_allclose(swapped[1].mel, both[1].mel, atol=5e-4)
+  # And it must differ from the row-0 keyed render of the same song.
+  assert not np.allclose(both[1].mel, solo_b_first.mel, atol=5e-4)
 
 
 def test_render_with_griffin_lim_vocoder():
