@@ -58,6 +58,10 @@ def main():
                  help="measure training throughput (steps/s and "
                       "target-frames/s, the reference's train metrics — "
                       "reference metrics.py:63-78) instead of synthesis")
+  p.add_argument("--verify", action="store_true",
+                 help="pin the real Mosaic kernel path: flash attention "
+                      "fwd+bwd vs the XLA oracle ON DEVICE, with "
+                      "per-call timings (kernel-regression smoke)")
   args = p.parse_args()
 
   size = args.size or ("small" if args.quick else "base")
@@ -77,6 +81,9 @@ def main():
       model as model_lib, network)
   from music_spectrogram_diffusion_tpu.ops import diffusion as dops
 
+  if args.verify:
+    _verify_bench(args)
+    return
   if args.train:
     _train_bench(size, args)
     return
@@ -157,6 +164,110 @@ def main():
         f"init={init_s:.1f}s compile={compile_s:.1f}s "
         f"platform={jax.devices()[0].platform}", file=sys.stderr)
   assert np.all(np.isfinite(np.asarray(out)))
+
+
+def _verify_bench(args):
+  """Flash kernel vs XLA oracle on the live backend (real Mosaic
+  lowering on TPU — CI runs interpret-mode only), plus per-call times.
+
+  Exits non-zero on numerical disagreement, so a kernel regression
+  surfaces from one command instead of a manual bench session.
+  """
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  from music_spectrogram_diffusion_tpu.ops import attention
+
+  platform = jax.devices()[0].platform
+  r = np.random.RandomState(0)
+
+  def qkv(b, q, kv, h, d):
+    return (jnp.asarray(r.randn(b, q, h, d).astype(np.float32)),
+            jnp.asarray(r.randn(b, kv, h, d).astype(np.float32)),
+            jnp.asarray(r.randn(b, kv, h, d).astype(np.float32)))
+
+  def sync(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(jnp.sum(jnp.abs(leaf))))
+
+  def timed(fn, *a):
+    out = fn(*a)
+    sync(out)  # compile
+    times = []
+    for _ in range(args.repeats):
+      t0 = time.time()
+      out = fn(*a)
+      sync(out)
+      times.append(time.time() - t0)
+    return out, float(np.median(times))
+
+  worst_rel = 0.0
+  rows = []
+  # Model-representative shapes: encoder self (2048x2048), decoder
+  # cross (256 q x 2048 kv), decoder self (256x256); heads=6/d=64 is
+  # the 'small'/'base' head geometry.
+  for name, (b, q, kv) in [("enc_self", (2, 2048, 2048)),
+                           ("dec_cross", (2, 256, 2048)),
+                           ("dec_self", (2, 256, 256))]:
+    Q, K, V = qkv(b, q, kv, 6, 64)
+    mask = jnp.asarray(np.arange(kv) < kv - 3)[None, :].repeat(b, 0)
+    flash = jax.jit(lambda a_, b_, c_, m_: attention.flash_attention(
+        a_, b_, c_, None, m_, mxu_bf16=False))
+
+    def oracle_fn(a_, b_, c_, bias_, m_):
+      # Accurate reference: TPU f32 matmuls default to one bf16 MXU
+      # pass; 'highest' forces the multi-pass f32 product so the
+      # measured error is the KERNEL's rounding, not the oracle's.
+      with jax.default_matmul_precision("highest"):
+        return attention.attention_reference(a_, b_, c_, bias_, m_)
+    oracle = jax.jit(oracle_fn)
+    got, t_flash = timed(flash, Q, K, V, mask)
+    want, t_xla = timed(oracle, Q, K, V, None, mask)
+    rel = float(np.max(np.abs(np.asarray(got) - np.asarray(want))) /
+                max(1e-9, float(np.max(np.abs(np.asarray(want))))))
+    worst_rel = max(worst_rel, rel)
+    rows.append(f"{name}: rel_err={rel:.2e} "
+                f"flash={t_flash*1e3:.2f}ms xla={t_xla*1e3:.2f}ms")
+
+  # Backward pass (the training path's custom VJP).
+  Q, K, V = qkv(2, 256, 1024, 6, 64)
+  mask = jnp.asarray(np.arange(1024) < 1000)[None, :].repeat(2, 0)
+
+  def flash_loss(a_, b_, c_):
+    out = attention.flash_attention_diff(a_, b_, c_, None, mask,
+                                         mxu_bf16=False)
+    return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+  def oracle_loss(a_, b_, c_):
+    with jax.default_matmul_precision("highest"):
+      out = attention.attention_reference(a_, b_, c_, None, mask)
+    return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+  g_flash, t_bwd = timed(jax.jit(jax.grad(flash_loss, (0, 1, 2))), Q, K, V)
+  g_want, t_bwd_xla = timed(jax.jit(jax.grad(oracle_loss, (0, 1, 2))),
+                            Q, K, V)
+  for g, w, nm in zip(g_flash, g_want, "qkv"):
+    rel = float(np.max(np.abs(np.asarray(g) - np.asarray(w))) /
+                max(1e-9, float(np.max(np.abs(np.asarray(w))))))
+    worst_rel = max(worst_rel, rel)
+    rows.append(f"vjp d{nm}: rel_err={rel:.2e}")
+  rows.append(f"vjp: flash={t_bwd*1e3:.2f}ms xla={t_bwd_xla*1e3:.2f}ms")
+
+  # The kernel's dots ride the MXU (bf16 passes, f32 accumulation):
+  # ~2e-3 rounding vs the f32 oracle is expected on TPU; a wiring/
+  # masking regression diverges O(1). CPU interpret mode is ~1e-6.
+  ok = worst_rel < 2e-2
+  print(json.dumps({
+      "metric": "flash_vs_xla_max_rel_err",
+      "value": float(f"{worst_rel:.3e}"),
+      "unit": "relative_error",
+      "vs_baseline": 1.0 if ok else 0.0,
+  }))
+  for row in rows:
+    print(f"# {row} [{platform}]", file=sys.stderr)
+  if not ok:
+    sys.exit(1)
 
 
 def _train_bench(size, args):

@@ -28,6 +28,9 @@ def main():
   p.add_argument("--mesh", default=None, help="DATAxMODEL, e.g. 4x2")
   p.add_argument("--synthetic", action="store_true",
                  help="distill on the synthetic sine dataset (smoke)")
+  p.add_argument("--synthetic_examples", type=int, default=64,
+                 help="synthetic dataset size (--synthetic only)")
+  p.add_argument("--data_threads", type=int, default=8)
   p.add_argument("--dataset", default="maestrov3")
   p.add_argument("--data_root", default=None)
   p.add_argument("--cache_root", default=None)
@@ -47,7 +50,6 @@ def main():
   from music_spectrogram_diffusion_tpu import config as cfg_lib
   from music_spectrogram_diffusion_tpu.data import synthetic, tasks
   from music_spectrogram_diffusion_tpu.infer import inference
-  from music_spectrogram_diffusion_tpu.midi import vocabularies
   from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
   from music_spectrogram_diffusion_tpu.train import (checkpoints, distill,
                                                      loop, trainer)
@@ -70,17 +72,27 @@ def main():
   if args.synthetic:
     task = tasks.Task(
         name="distill", source_fn=lambda: synthetic.synthetic_source(
-            64, duration=12.0),
+            args.synthetic_examples, duration=12.0),
         audio_codec=teacher_model.audio_codec,
-        vocab_config=vocabularies.VocabularyConfig(num_velocity_bins=1),
-        note_rep=tasks.NoteRepresentationConfig(include_ties=True),
-        with_context=teacher_exp.with_context)
+        vocab_config=teacher_exp.vocab_config(),
+        note_rep=teacher_exp.note_rep(),
+        with_context=teacher_exp.with_context,
+        program_granularity=teacher_exp.program_granularity)
+    if args.cache_root:
+      from music_spectrogram_diffusion_tpu.data import cache as cache_lib
+      cache_dir = os.path.join(args.cache_root,
+                               f"distill_{args.synthetic_examples}")
+      if not cache_lib.cache_exists(cache_dir):
+        print(f"building synthetic cache: {task.build_cache(cache_dir)}")
+      task.cache_dir = cache_dir
   else:
     from music_spectrogram_diffusion_tpu.data import datasets, registry
     config = datasets.ALL_DATASET_CONFIGS[args.dataset]
     task = registry.make_dataset_task(
         config, config.train_split,
-        vocab_config=registry.VOCAB_CONFIG_NOVELOCITY,
+        vocab_config=teacher_exp.vocab_config(),
+        note_rep=teacher_exp.note_rep(),
+        program_granularity=teacher_exp.program_granularity,
         with_context=teacher_exp.with_context,
         data_root=args.data_root, cache_root=args.cache_root,
         audio_codec=teacher_model.audio_codec)
@@ -102,7 +114,8 @@ def main():
         guidance_weight=(args.guidance_weight if round_idx == 0 else 1.0))
 
     ds = (task.model_dataset(lengths, training=True,
-                             seed=args.seed + round_idx)
+                             seed=args.seed + round_idx,
+                             num_threads=args.data_threads)
           .repeat().batch(batch_size).prefetch(4, num_threads=4))
     t = trainer.Trainer(model=dmodel, train_cfg=student_exp.train,
                         mesh=mesh)

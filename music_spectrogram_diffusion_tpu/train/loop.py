@@ -120,6 +120,7 @@ class TrainLoop:
 
     start_step = int(state.step)
     window_t0 = time.time()
+    window_start = start_step
     window_frames = 0.0
     window_seqs = 0.0
     n_devices = len(jax.devices())
@@ -135,12 +136,17 @@ class TrainLoop:
 
       if step % self.log_period == 0 or step == num_steps:
         elapsed = time.time() - window_t0
+        # seconds_per_step is the PER-STEP mean over the window (the
+        # first window also absorbs the trace+compile time).
+        window_steps = max(step - window_start, 1)
         logged = {k: v for k, v in metrics.items()}
         logged.update(metrics_lib.throughput_metrics(
             float(window_seqs), float(window_frames),
-            max(elapsed, 1e-9), n_devices))
+            max(elapsed, 1e-9), n_devices,
+            num_steps=window_steps))
         logger.write(step, logged)
         window_t0 = time.time()
+        window_start = step
         window_frames = window_seqs = 0.0
 
       if step % train_cfg.checkpoint_period == 0 or step == num_steps:

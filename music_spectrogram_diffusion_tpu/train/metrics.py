@@ -24,11 +24,14 @@ from scipy import linalg
 
 def throughput_metrics(num_seqs: float, num_frames: float,
                        step_seconds: float,
-                       num_devices: int = 1) -> Dict[str, float]:
+                       num_devices: int = 1,
+                       num_steps: int = 1) -> Dict[str, float]:
+  """Throughput over a window of `num_steps` steps taking
+  `step_seconds` wall seconds total."""
   out = {
       "timing/seqs_per_second": num_seqs / step_seconds,
       "timing/target_frames_per_second": num_frames / step_seconds,
-      "timing/seconds_per_step": step_seconds,
+      "timing/seconds_per_step": step_seconds / max(num_steps, 1),
   }
   out["timing/seqs_per_second_per_core"] = (
       out["timing/seqs_per_second"] / num_devices)
