@@ -91,11 +91,17 @@ def two_step_teacher_target(
 def make_distill_loss_fn(
     student_model: Any,
     teacher_model: Any,
-    teacher_params: PyTree,
     num_student_steps: int,
     guidance_weight: Optional[float] = None,
 ) -> Callable:
-  """Build loss_fn(params, batch, rng) for train.Trainer.
+  """Build loss_fn(params, batch, rng, teacher_params) for
+  train.Trainer.
+
+  The teacher params ride as a RUNTIME ARGUMENT (Trainer's aux_params
+  hook), not a closure capture: closed-over trees become literal
+  constants in the jitted HLO, and a real-size teacher (~400 MB f32)
+  overflows serialized-program limits (the axon remote-compile endpoint
+  rejects it with HTTP 413).
 
   The teacher prediction folds in classifier-free guidance at
   `guidance_weight` (default: the teacher's eval_condition_weight), so
@@ -111,7 +117,8 @@ def make_distill_loss_fn(
     guidance_weight = dconfig.guidance.eval_condition_weight
 
   def loss_fn(params: PyTree, batch: Mapping[str, Array],
-              rng: Optional[jax.Array]) -> Tuple[Array, Dict[str, Array]]:
+              rng: Optional[jax.Array],
+              teacher_params: PyTree) -> Tuple[Array, Dict[str, Array]]:
     if rng is None:
       rng = jax.random.PRNGKey(0)
     targets = student_model.audio_codec.scale_features(
@@ -201,11 +208,14 @@ class DistillModel:
     self.num_student_steps = num_student_steps
     # The student is initialized FROM these same arrays and the train
     # step donates its state — copy so donation can't delete the
-    # teacher's buffers out from under the loss closure.
+    # teacher's buffers out from under the aux tree. Exposed as
+    # `aux_params`: the Trainer threads it through the jit as a real
+    # argument (constants of this size overflow program serialization).
     teacher_params = jax.tree.map(jnp.copy, teacher_params)
     self.teacher_params = teacher_params
+    self.aux_params = teacher_params
     self.loss_fn = make_distill_loss_fn(
-        student_model, teacher_model, teacher_params,
+        student_model, teacher_model,
         num_student_steps, guidance_weight=guidance_weight)
 
   def init_variables(self, rng, input_shapes, input_types=None):

@@ -124,11 +124,14 @@ class Trainer:
   # -- steps ----------------------------------------------------------------
 
   def _step_fn(self, state: TrainState, batch: Dict[str, Array],
-               rng: jax.Array) -> Tuple[TrainState, Dict[str, Array]]:
+               rng: jax.Array,
+               aux=None) -> Tuple[TrainState, Dict[str, Array]]:
     dropout_rng = jax.random.fold_in(rng, state.step)
 
     def loss_fn(params):
-      return self.model.loss_fn(params, batch, dropout_rng)
+      if aux is None:
+        return self.model.loss_fn(params, batch, dropout_rng)
+      return self.model.loss_fn(params, batch, dropout_rng, aux)
 
     (_, metrics), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
@@ -142,15 +145,26 @@ class Trainer:
 
   def train_step(self, state: TrainState, batch: Dict[str, Array],
                  rng: jax.Array) -> Tuple[TrainState, Dict[str, Array]]:
+    # Models may expose `aux_params` (e.g. the distillation teacher's
+    # frozen tree): it is threaded through the jit as a real argument —
+    # a closure capture would bake ~#params of literal constants into
+    # the serialized program.
+    aux = getattr(self.model, "aux_params", None)
     if self._train_step_fn is None:
       self._train_step_fn = jax.jit(self._step_fn, donate_argnums=(0,))
     with self.mesh, mesh_lib.axis_rules(self.rules):
-      return self._train_step_fn(state, batch, rng)
+      if aux is None:
+        return self._train_step_fn(state, batch, rng)
+      return self._train_step_fn(state, batch, rng, aux)
 
   def eval_step(self, state: TrainState,
                 batch: Dict[str, Array]) -> Dict[str, Array]:
+    aux = getattr(self.model, "aux_params", None)
     if self._eval_step_fn is None:
       self._eval_step_fn = jax.jit(self.model.loss_fn)
     with self.mesh, mesh_lib.axis_rules(self.rules):
-      _, metrics = self._eval_step_fn(state.params, batch, None)
+      if aux is None:
+        _, metrics = self._eval_step_fn(state.params, batch, None)
+      else:
+        _, metrics = self._eval_step_fn(state.params, batch, None, aux)
       return metrics
