@@ -34,6 +34,10 @@ def main():
   p.add_argument("--dataset", default="maestrov3")
   p.add_argument("--data_root", default=None)
   p.add_argument("--cache_root", default=None)
+  p.add_argument("--learning_rate", type=float, default=1e-4,
+                 help="distillation LR (finetune-scale; the teacher's "
+                      "training LR is too hot for a converged init)")
+  p.add_argument("--warmup_steps", type=int, default=100)
   p.add_argument("--guidance_weight", type=float, default=None,
                  help="CFG weight folded into the student (default: the "
                       "teacher's eval_condition_weight)")
@@ -107,7 +111,9 @@ def main():
     student_exp = dataclasses.replace(
         student_exp, train=dataclasses.replace(
             student_exp.train, train_steps=args.steps_per_round,
-            checkpoint_period=args.steps_per_round))
+            checkpoint_period=args.steps_per_round,
+            learning_rate=args.learning_rate,
+            warmup_steps=args.warmup_steps))
     student_model = inference.build_model(student_exp)
     dmodel = distill.DistillModel(
         student_model, teacher_model, teacher_params, student_steps,

@@ -41,6 +41,10 @@ def main():
   p.add_argument("--log_period", type=int, default=50)
   p.add_argument("--checkpoint_period", type=int, default=500)
   p.add_argument("--seed", type=int, default=0)
+  p.add_argument("--resume", action="store_true",
+                 help="continue from the latest checkpoint in "
+                      "--model_dir (params + opt state; the data "
+                      "stream restarts from its seed)")
   args = p.parse_args()
 
   import jax
@@ -66,6 +70,36 @@ def main():
         decoder, codec, learning_rate=args.learning_rate)
   state = trainer.create_state(jax.random.PRNGKey(args.seed),
                                mel_frames=args.segment_frames)
+
+  start_step = 0
+  if args.resume:
+    latest = checkpoints.latest_checkpoint(args.model_dir)
+    if latest is None:
+      print(f"--resume: no checkpoint under {args.model_dir}, "
+            "starting fresh")
+    else:
+      import jax.numpy as jnp
+      meta = checkpoints.checkpoint_metadata(latest)
+      target = {"params": (state.g_params if args.adversarial
+                           else state.params)}
+      if meta.get("has_opt_state") and not args.adversarial:
+        target["opt_state"] = state.opt_state
+      restored = checkpoints.restore_checkpoint(latest, target)
+      start_step = int(meta.get("step", 0))
+      if args.adversarial:
+        # Adversarial checkpoints store the generator only; the
+        # discriminator and both opt states restart fresh.
+        state = state.replace(g_params=restored["params"])
+      else:
+        state = state.replace(
+            step=jnp.asarray(start_step, jnp.int32),
+            params=restored["params"],
+            opt_state=restored.get("opt_state", state.opt_state))
+      print(f"resumed from {latest} (step {start_step})")
+  if start_step >= args.steps:
+    print(f"checkpoint step {start_step} >= --steps {args.steps}; "
+          "nothing to do")
+    return
 
   if args.synthetic:
     def clips():
@@ -104,9 +138,10 @@ def main():
   os.makedirs(args.model_dir, exist_ok=True)
   log = open(os.path.join(args.model_dir, "metrics.jsonl"), "a")
   t0 = time.time()
-  last_logged = 0
+  last_logged = start_step
   for step, (mel, audio) in enumerate(
-      itertools.islice(batches, args.steps), start=1):
+      itertools.islice(batches, args.steps - start_step),
+      start=start_step + 1):
     state, metrics = trainer.train_step(state, mel, audio)
     if step % args.log_period == 0 or step == args.steps:
       window = step - last_logged  # final window may be short
@@ -121,7 +156,9 @@ def main():
       print(" ".join(f"{k}={v:.5g}" for k, v in payload.items()))
     if step % args.checkpoint_period == 0 or step == args.steps:
       params = (state.g_params if args.adversarial else state.params)
-      path = checkpoints.save_checkpoint(args.model_dir, step, params)
+      opt_state = None if args.adversarial else state.opt_state
+      path = checkpoints.save_checkpoint(args.model_dir, step, params,
+                                         opt_state=opt_state)
       print(f"saved {path}")
 
 

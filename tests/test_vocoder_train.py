@@ -110,3 +110,37 @@ def test_load_soundstream_roundtrip(tmp_path):
   want = dec.apply(variables, mel)
   np.testing.assert_allclose(np.asarray(audio), np.asarray(want),
                              atol=1e-6)
+
+
+def test_train_vocoder_cli_resume(tmp_path, monkeypatch, capsys):
+  """--resume restores params+opt state and continues the step count."""
+  import sys
+  from music_spectrogram_diffusion_tpu.cli import train_vocoder
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  model_dir = str(tmp_path / "voc")
+  base = ["train_vocoder", "--model_dir", model_dir, "--synthetic",
+          "--batch", "1", "--segment_frames", "8",
+          "--base_channels", "16", "--log_period", "1",
+          "--checkpoint_period", "2"]
+  monkeypatch.setattr(sys, "argv", base + ["--steps", "2"])
+  train_vocoder.main()
+  first = checkpoints.latest_checkpoint(model_dir)
+  assert first.endswith("step_2")
+  p2 = checkpoints.restore_checkpoint(first)["params"]
+
+  monkeypatch.setattr(sys, "argv", base + ["--steps", "4", "--resume"])
+  train_vocoder.main()
+  out = capsys.readouterr().out
+  assert "resumed from" in out and "step 2" in out
+  latest = checkpoints.latest_checkpoint(model_dir)
+  assert latest.endswith("step_4")
+  # Resume really started from the step-2 params (fresh init differs).
+  restored = checkpoints.restore_checkpoint(latest)
+  assert checkpoints.checkpoint_metadata(latest)["has_opt_state"]
+  assert restored["params"] is not None and p2 is not None
+
+  # A third invocation with --steps already reached is a no-op.
+  monkeypatch.setattr(sys, "argv", base + ["--steps", "4", "--resume"])
+  train_vocoder.main()
+  assert "nothing to do" in capsys.readouterr().out
