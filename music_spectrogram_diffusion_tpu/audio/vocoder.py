@@ -15,6 +15,7 @@ chain (denoise -> vocode) stays on the TPU:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -128,6 +129,43 @@ def load_soundstream(npz_path: str,
     shape GriffinLimVocoder.as_codec_decoder returns, so either plugs
     in as set_vocoder(*voc.as_codec_decoder()). The converted weights
     are closed over; the params slot is unused."""
+    return (lambda _params, log_mel: vocode(log_mel)), None
+
+  vocode.as_codec_decoder = as_codec_decoder
+  return vocode
+
+
+def load_trained(model_dir: str, base_channels: int = 512):
+  """Trained SoundStreamDecoder checkpoint (cli/train_vocoder.py) ->
+  a jitted `[B, T, mel] log-mel -> [B, T*hop] audio` callable.
+
+  `model_dir` is either a step_<N> directory or the training model_dir
+  (picks the latest step). Mirrors the role of the reference's TF-Hub
+  inverter load (reference audio_codecs.py:249-264) for weights trained
+  in-repo rather than converted.
+  """
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  path = model_dir
+  if not os.path.basename(os.path.normpath(path)).startswith("step_"):
+    latest = checkpoints.latest_checkpoint(model_dir)
+    if latest is None:
+      raise FileNotFoundError(f"no step_<N> checkpoint under {model_dir}")
+    path = latest
+  decoder = SoundStreamDecoder(
+      config=SoundStreamConfig(base_channels=base_channels))
+  # No target: the checkpoint may or may not carry an opt_state
+  # (reconstruction vs adversarial training); take params as stored.
+  params = checkpoints.restore_checkpoint(path)["params"]
+  apply_fn = jax.jit(decoder.apply)
+
+  def vocode(log_mel: Array, rng=None) -> Array:
+    del rng
+    return apply_fn(params, log_mel)
+
+  def as_codec_decoder():
+    """(apply_fn, params) adapter for AudioCodec.set_vocoder (same shape
+    as GriffinLimVocoder.as_codec_decoder; weights closed over)."""
     return (lambda _params, log_mel: vocode(log_mel)), None
 
   vocode.as_codec_decoder = as_codec_decoder

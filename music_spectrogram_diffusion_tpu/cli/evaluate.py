@@ -40,6 +40,11 @@ def main():
                  help="override the sampler family (DDIM keeps quality "
                       "at far fewer steps; pair with --steps)")
   p.add_argument("--vocode", action="store_true")
+  p.add_argument("--vocoder_checkpoint", default=None,
+                 help="trained SoundStreamDecoder dir "
+                      "(cli/train_vocoder.py); implies --vocode and "
+                      "replaces the Griffin-Lim fallback")
+  p.add_argument("--vocoder_base_channels", type=int, default=512)
   p.add_argument("--output_dir", default=None)
   p.add_argument("--prediction_source", default="model",
                  choices=["model", "gt_encoded", "gt_raw"])
@@ -177,7 +182,12 @@ def main():
           "-> enabling --vocode")
     args.vocode = True
 
-  voc = vocoder.GriffinLimVocoder(num_iters=16) if args.vocode else None
+  if args.vocoder_checkpoint:
+    args.vocode = True
+    voc = vocoder.load_trained(args.vocoder_checkpoint,
+                               base_channels=args.vocoder_base_channels)
+  else:
+    voc = vocoder.GriffinLimVocoder(num_iters=16) if args.vocode else None
   synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)
   results = evaluation.evaluate_songs(
       synth, songs, songs_per_batch=args.songs_per_batch,

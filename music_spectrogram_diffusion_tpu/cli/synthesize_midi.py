@@ -59,6 +59,10 @@ def main():
   p.add_argument("--seed", type=int, default=0)
   p.add_argument("--vocoder", default="griffin_lim",
                  choices=["griffin_lim", "none"])
+  p.add_argument("--vocoder_checkpoint", default=None,
+                 help="trained SoundStreamDecoder dir "
+                      "(cli/train_vocoder.py); overrides --vocoder")
+  p.add_argument("--vocoder_base_channels", type=int, default=512)
   args = p.parse_args()
 
   import jax
@@ -116,8 +120,12 @@ def main():
   print(f"  {len(segments)} segments of "
         f"{lengths['targets'] / model.audio_codec.frame_rate:.2f}s")
 
-  voc = (vocoder.GriffinLimVocoder(num_iters=32)
-         if args.vocoder == "griffin_lim" else None)
+  if args.vocoder_checkpoint:
+    voc = vocoder.load_trained(args.vocoder_checkpoint,
+                               base_channels=args.vocoder_base_channels)
+  else:
+    voc = (vocoder.GriffinLimVocoder(num_iters=32)
+           if args.vocoder == "griffin_lim" else None)
   synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)
   t0 = time.time()
   out = synth.render_song(segments, rng=jax.random.PRNGKey(args.seed),

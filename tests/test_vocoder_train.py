@@ -144,3 +144,70 @@ def test_train_vocoder_cli_resume(tmp_path, monkeypatch, capsys):
   monkeypatch.setattr(sys, "argv", base + ["--steps", "4", "--resume"])
   train_vocoder.main()
   assert "nothing to do" in capsys.readouterr().out
+
+
+def test_load_trained_roundtrip(tmp_path):
+  """load_trained restores a train_vocoder checkpoint and matches a
+  direct decoder.apply with the same params."""
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  codec = codecs.MelGan()
+  dec = vocoder.SoundStreamDecoder(
+      config=vocoder.SoundStreamConfig(base_channels=16))
+  trainer = vocoder_train.VocoderTrainer(dec, codec)
+  state = trainer.create_state(jax.random.PRNGKey(3), mel_frames=8)
+  model_dir = str(tmp_path / "voc")
+  checkpoints.save_checkpoint(model_dir, 7, state.params,
+                              opt_state=state.opt_state)
+
+  vocode = vocoder.load_trained(model_dir, base_channels=16)
+  mel = np.random.RandomState(0).uniform(
+      -11, 4, (2, 6, 128)).astype(np.float32)
+  audio = np.asarray(vocode(jax.numpy.asarray(mel)))
+  assert audio.shape == (2, 6 * 320)
+  want = np.asarray(dec.apply(state.params, mel))
+  np.testing.assert_allclose(audio, want, atol=1e-6)
+
+  # The adapter shape plugs into AudioCodec.set_vocoder.
+  codec.set_vocoder(*vocode.as_codec_decoder())
+  out = codec.decode(jax.numpy.asarray(mel))
+  np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+  with pytest.raises(FileNotFoundError):
+    vocoder.load_trained(str(tmp_path / "missing"))
+
+
+def test_eval_vocoder_cli(tmp_path, monkeypatch, capsys):
+  """eval_vocoder scores Griffin-Lim + a trained checkpoint and writes
+  the comparison report."""
+  import json as json_lib
+  import sys
+
+  from music_spectrogram_diffusion_tpu.cli import (eval_vocoder,
+                                                   train_vocoder)
+
+  model_dir = str(tmp_path / "voc")
+  monkeypatch.setattr(sys, "argv", [
+      "train_vocoder", "--model_dir", model_dir, "--synthetic",
+      "--steps", "2", "--batch", "1", "--segment_frames", "8",
+      "--base_channels", "16", "--checkpoint_period", "2"])
+  train_vocoder.main()
+
+  out_json = str(tmp_path / "report.json")
+  monkeypatch.setattr(sys, "argv", [
+      "eval_vocoder", "--checkpoint", model_dir, "--base_channels", "16",
+      "--synthetic", "--clips", "2", "--clip_seconds", "0.5",
+      "--griffin_lim_iters", "2", "--batch", "2",
+      "--output", out_json])
+  eval_vocoder.main()
+  capsys.readouterr()
+  with open(out_json) as f:
+    report = json_lib.load(f)
+  assert report["clips"] == 2
+  for method in ("griffin_lim", "trained"):
+    m = report["methods"][method]
+    for k in ("spectral_convergence", "log_magnitude",
+              "mel_roundtrip_l2"):
+      assert np.isfinite(m[k]), (method, k)
+  assert set(report["trained_vs_griffin_lim"]) == {
+      "spectral_convergence", "log_magnitude", "mel_roundtrip_l2"}
