@@ -43,6 +43,8 @@ def main():
   p.add_argument("--griffin_lim_iters", type=int, default=32)
   p.add_argument("--batch", type=int, default=4)
   p.add_argument("--output", default=None, help="write metrics JSON here")
+  p.add_argument("--wav_dir", default=None,
+                 help="write reference + per-method reconstruction WAVs")
   args = p.parse_args()
 
   import jax.numpy as jnp
@@ -121,7 +123,28 @@ def main():
         jnp.asarray(recon), jnp.asarray(audio)).items()}
     mel_rt = codec.encode_np(recon)[:, :seg_frames]
     mel_l2 = float(np.sqrt(np.mean((mel_rt - mel) ** 2)))
-    report["methods"][name] = {**spec, "mel_roundtrip_l2": mel_l2}
+    # Time-domain SNR: meaningful for the phase-preserving trained
+    # decoder; Griffin-Lim invents phase, so its SNR ~ 0 dB by design.
+    noise = audio - recon
+    snr_db = float(10 * np.log10(
+        (np.sum(audio ** 2) + 1e-9) / (np.sum(noise ** 2) + 1e-9)))
+    report["methods"][name] = {**spec, "mel_roundtrip_l2": mel_l2,
+                               "snr_db": snr_db}
+    if args.wav_dir:
+      import os
+
+      from music_spectrogram_diffusion_tpu.audio import wav_io
+      os.makedirs(args.wav_dir, exist_ok=True)
+      for i in range(min(len(clips), 4)):
+        with open(os.path.join(args.wav_dir,
+                               f"clip{i}_{name}.wav"), "wb") as f:
+          f.write(wav_io.encode_wav(recon[i].astype(np.float32),
+                                    codec.sample_rate))
+        ref_path = os.path.join(args.wav_dir, f"clip{i}_ref.wav")
+        if not os.path.exists(ref_path):
+          with open(ref_path, "wb") as f:
+            f.write(wav_io.encode_wav(audio[i].astype(np.float32),
+                                      codec.sample_rate))
     print(f"{name}: " + " ".join(
         f"{k}={v:.4f}" for k, v in report["methods"][name].items()))
 

@@ -207,7 +207,8 @@ def test_eval_vocoder_cli(tmp_path, monkeypatch, capsys):
   for method in ("griffin_lim", "trained"):
     m = report["methods"][method]
     for k in ("spectral_convergence", "log_magnitude",
-              "mel_roundtrip_l2"):
+              "mel_roundtrip_l2", "snr_db"):
       assert np.isfinite(m[k]), (method, k)
   assert set(report["trained_vs_griffin_lim"]) == {
-      "spectral_convergence", "log_magnitude", "mel_roundtrip_l2"}
+      "spectral_convergence", "log_magnitude", "mel_roundtrip_l2",
+      "snr_db"}
