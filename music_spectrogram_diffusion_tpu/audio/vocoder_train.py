@@ -211,6 +211,36 @@ class AdversarialVocoderTrainer:
     return self._step_fn(state, mel, audio)
 
 
+def prefetch(iterator: Iterator, depth: int = 4) -> Iterator:
+  """Run an iterator in a daemon thread, buffering `depth` items.
+
+  Overlaps host-side batch assembly with device compute. Exceptions from
+  the producer re-raise at the consumer's next __next__.
+  """
+  import queue
+  import threading
+
+  q: "queue.Queue" = queue.Queue(maxsize=depth)
+  done = object()
+
+  def worker():
+    try:
+      for item in iterator:
+        q.put(item)
+      q.put(done)
+    except BaseException as e:  # surface producer errors downstream
+      q.put(e)
+
+  threading.Thread(target=worker, daemon=True).start()
+  while True:
+    item = q.get()
+    if item is done:
+      return
+    if isinstance(item, BaseException):
+      raise item
+    yield item
+
+
 def vocoder_batches(audio_source: Iterator[np.ndarray],
                     audio_codec: codecs.AudioCodec,
                     *,

@@ -52,7 +52,7 @@ def main():
   import jax.numpy as jnp
 
   from music_spectrogram_diffusion_tpu import config as cfg_lib
-  from music_spectrogram_diffusion_tpu.data import synthetic, tasks
+  from music_spectrogram_diffusion_tpu.data import registry
   from music_spectrogram_diffusion_tpu.infer import inference
   from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
   from music_spectrogram_diffusion_tpu.train import (checkpoints, distill,
@@ -74,23 +74,20 @@ def main():
     lengths["targets_context"] = tl.targets_context
 
   if args.synthetic:
-    task = tasks.Task(
-        name="distill", source_fn=lambda: synthetic.synthetic_source(
-            args.synthetic_examples, duration=12.0),
+    # The helper's cache key encodes the teacher's vocab/note-rep, so a
+    # cache tokenized for one teacher family is never reused for
+    # another (e.g. mt3-family ties vs ismir2021 127-velocity-bin).
+    task = registry.synthetic_cached_task(
+        "distill",
         audio_codec=teacher_model.audio_codec,
         vocab_config=teacher_exp.vocab_config(),
         note_rep=teacher_exp.note_rep(),
         with_context=teacher_exp.with_context,
-        program_granularity=teacher_exp.program_granularity)
-    if args.cache_root:
-      from music_spectrogram_diffusion_tpu.data import cache as cache_lib
-      cache_dir = os.path.join(args.cache_root,
-                               f"distill_{args.synthetic_examples}")
-      if not cache_lib.cache_exists(cache_dir):
-        print(f"building synthetic cache: {task.build_cache(cache_dir)}")
-      task.cache_dir = cache_dir
+        program_granularity=teacher_exp.program_granularity,
+        num_examples=args.synthetic_examples,
+        cache_root=args.cache_root)
   else:
-    from music_spectrogram_diffusion_tpu.data import datasets, registry
+    from music_spectrogram_diffusion_tpu.data import datasets
     config = datasets.ALL_DATASET_CONFIGS[args.dataset]
     task = registry.make_dataset_task(
         config, config.train_split,

@@ -69,9 +69,20 @@ def main():
               f"known: {sorted(datasets.ALL_DATASET_CONFIGS)}")
     vocab_config = vocabularies.VocabularyConfig(
         num_velocity_bins=args.velocity_bins)
+    if args.velocity_bins == 127:
+      # ismir2021 family: the 127-bin vocab pairs with no-ties decoding
+      # and 'flat' program granularity (registry.register_ismir2021_tasks,
+      # reference gin/tasks/ismir2021.gin) — dump what that task trains on.
+      note_rep = registry.ISMIR2021_NOTE_REP
+      program_granularity = "flat"
+    else:
+      note_rep = None  # make_dataset_task default (mt3 family: ties)
+      program_granularity = "full"
     task = registry.make_dataset_task(
         datasets.ALL_DATASET_CONFIGS[args.dataset], args.split,
-        vocab_config=vocab_config, data_root=args.data_root)
+        vocab_config=vocab_config, note_rep=note_rep,
+        program_granularity=program_granularity,
+        data_root=args.data_root)
     print(f"task: {task.name}")
   else:
     p.error("pick a source: --synthetic, --task NAME, or --dataset NAME")
@@ -97,7 +108,9 @@ def main():
     if args.decode_events:
       tokens = task.vocabulary.decode(np.asarray(ex["inputs"]))
       tokens = tokens[tokens >= 0]
-      spec = sequences.NoteEncodingWithTiesSpec
+      spec = (sequences.NoteEncodingWithTiesSpec
+              if task.note_rep.include_ties
+              else sequences.NoteEncodingSpec)
       state = spec.init_decoding_state_fn()
       spec.begin_decoding_segment_fn(state)
       invalid, dropped = run_length.decode_events(

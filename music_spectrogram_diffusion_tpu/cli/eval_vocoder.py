@@ -72,16 +72,13 @@ def main():
         yield synthetic.render_note_sequence(
             ns, codec.sample_rate, duration=args.clip_seconds + 1.0)
   else:
-    from music_spectrogram_diffusion_tpu.data import (datasets, registry,
-                                                      tasks as tasks_lib)
-    from music_spectrogram_diffusion_tpu.midi import vocabularies
-    if args.dataset not in datasets.ALL_DATASET_CONFIGS:
-      p.error(f"unknown dataset {args.dataset!r}")
-    config = datasets.ALL_DATASET_CONFIGS[args.dataset]
-    source = registry.dataset_source(
-        config, args.split or config.eval_split, codec,
-        vocabularies.build_codec(registry.VOCAB_CONFIG_NOVELOCITY),
-        tasks_lib.NoteRepresentationConfig(), data_root=args.data_root)
+    from music_spectrogram_diffusion_tpu.data import registry
+    try:
+      source = registry.audio_source(args.dataset, args.split, codec,
+                                     data_root=args.data_root,
+                                     is_training=False)
+    except ValueError as e:
+      p.error(str(e))
 
     def clip_iter():
       for ex in source:
@@ -151,8 +148,11 @@ def main():
   if "trained" in report["methods"]:
     g = report["methods"]["griffin_lim"]
     t = report["methods"]["trained"]
+    # All metrics are lower-is-better except snr_db; flip its sign so
+    # "negative = trained better" holds for every key in the report.
     report["trained_vs_griffin_lim"] = {
-        k: (t[k] - g[k]) / max(abs(g[k]), 1e-9) for k in g}
+        k: ((g[k] - t[k]) if k == "snr_db" else (t[k] - g[k]))
+           / max(abs(g[k]), 1e-9) for k in g}
     print("relative delta (negative = trained better): " + " ".join(
         f"{k}={v:+.1%}" for k, v in
         report["trained_vs_griffin_lim"].items()))

@@ -63,9 +63,9 @@ def main():
 
   from music_spectrogram_diffusion_tpu import config as cfg_lib
   from music_spectrogram_diffusion_tpu.audio import codecs
-  from music_spectrogram_diffusion_tpu.data import synthetic, tasks
+  from music_spectrogram_diffusion_tpu.data import registry, tasks
   from music_spectrogram_diffusion_tpu.infer import inference
-  from music_spectrogram_diffusion_tpu.midi import vocabularies
+
   from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
   from music_spectrogram_diffusion_tpu.train import loop, trainer
 
@@ -101,30 +101,22 @@ def main():
 
   batch_size = experiment.train.batch_size
   if args.synthetic:
-    task = tasks.Task(
-        name=f"train_{args.preset}",
-        source_fn=lambda: synthetic.synthetic_source(
-            args.synthetic_examples, duration=12.0),
+    # The cache key encodes example count + vocab/note-rep so changing
+    # --synthetic_examples (or the preset family) rebuilds rather than
+    # silently streaming a stale cache.
+    task = registry.synthetic_cached_task(
+        "train",
         audio_codec=model.audio_codec,
         vocab_config=experiment.vocab_config(),
         note_rep=experiment.note_rep(),
         with_context=experiment.with_context,
-        program_granularity=experiment.program_granularity)
-    if args.cache_root:
-      # Tokenize + render the synthetic set once; epochs then stream
-      # the chunk cache from disk instead of re-rendering every song.
-      import os as _os
-      from music_spectrogram_diffusion_tpu.data import cache as cache_lib
-      cache_dir = _os.path.join(args.cache_root, task.name)
-      if not cache_lib.cache_exists(cache_dir):
-        meta = task.build_cache(cache_dir)
-        print(f"built synthetic cache: {meta}")
-      task.cache_dir = cache_dir
+        program_granularity=experiment.program_granularity,
+        num_examples=args.synthetic_examples,
+        cache_root=args.cache_root)
     ds = task.model_dataset(lengths, training=True, seed=args.seed,
                             shuffle_buffer_size=args.shuffle_buffer,
                             num_threads=args.data_threads).repeat()
   elif args.dataset == "mega":
-    from music_spectrogram_diffusion_tpu.data import registry
     registry.register_all_tasks(data_root=args.data_root,
                                 with_context=experiment.with_context,
                                 include_eval_splits=False,
@@ -137,7 +129,7 @@ def main():
                          shuffle_buffer_size=args.shuffle_buffer,
                          num_threads=args.data_threads)
   else:
-    from music_spectrogram_diffusion_tpu.data import datasets, registry
+    from music_spectrogram_diffusion_tpu.data import datasets
     if args.dataset not in datasets.ALL_DATASET_CONFIGS:
       p.error(f"unknown dataset {args.dataset!r}; "
               f"known: {sorted(datasets.ALL_DATASET_CONFIGS)} or 'mega'")

@@ -80,17 +80,20 @@ def main():
     else:
       import jax.numpy as jnp
       meta = checkpoints.checkpoint_metadata(latest)
-      target = {"params": (state.g_params if args.adversarial
-                           else state.params)}
-      if meta.get("has_opt_state") and not args.adversarial:
-        target["opt_state"] = state.opt_state
-      restored = checkpoints.restore_checkpoint(latest, target)
       start_step = int(meta.get("step", 0))
       if args.adversarial:
-        # Adversarial checkpoints store the generator only; the
-        # discriminator and both opt states restart fresh.
+        # Generator params only — the checkpoint may carry the recon
+        # trainer's opt_state (warm start from reconstruction
+        # pretraining), so restore as-stored rather than with a subset
+        # target (orbax rejects those); the discriminator and both opt
+        # states restart fresh.
+        restored = checkpoints.restore_checkpoint(latest)
         state = state.replace(g_params=restored["params"])
       else:
+        target = {"params": state.params}
+        if meta.get("has_opt_state"):
+          target["opt_state"] = state.opt_state
+        restored = checkpoints.restore_checkpoint(latest, target)
         state = state.replace(
             step=jnp.asarray(start_step, jnp.int32),
             params=restored["params"],
@@ -109,22 +112,17 @@ def main():
         yield synthetic.render_note_sequence(ns, codec.sample_rate,
                                              duration=6.0)
   else:
-    from music_spectrogram_diffusion_tpu.data import datasets, registry
-    from music_spectrogram_diffusion_tpu.midi import vocabularies
-    if args.dataset not in datasets.ALL_DATASET_CONFIGS:
-      p.error(f"unknown dataset {args.dataset!r}; "
-              f"known: {sorted(datasets.ALL_DATASET_CONFIGS)}")
-    config = datasets.ALL_DATASET_CONFIGS[args.dataset]
-    split = args.split or config.train_split
     # The per-dataset tokenizers own the audio decode/resample rules
     # (wav bytes vs float features, stem mixes); the vocoder just takes
     # the 16 kHz 'audio' they emit and ignores the note features.
-    from music_spectrogram_diffusion_tpu.data import tasks as tasks_lib
-    source = registry.dataset_source(
-        config, split, codec,
-        vocabularies.build_codec(registry.VOCAB_CONFIG_NOVELOCITY),
-        tasks_lib.NoteRepresentationConfig(), data_root=args.data_root)
-    print(f"audio source: {args.dataset}/{split}")
+    from music_spectrogram_diffusion_tpu.data import registry
+    try:
+      source = registry.audio_source(args.dataset, args.split, codec,
+                                     data_root=args.data_root)
+    except ValueError as e:
+      p.error(str(e))
+    print(f"audio source: {args.dataset}/"
+          f"{args.split or 'train split'}")
 
     def clips():
       while True:
@@ -134,6 +132,10 @@ def main():
   batches = vocoder_train.vocoder_batches(
       clips(), codec, segment_frames=args.segment_frames,
       batch_size=args.batch, seed=args.seed)
+  # Host-side clip rendering + mel encode overlaps the device step
+  # (measurably host-bound otherwise: synthesis + encode_np is ~15-20%
+  # of the step wall on one chip).
+  batches = vocoder_train.prefetch(batches, depth=4)
 
   os.makedirs(args.model_dir, exist_ok=True)
   log = open(os.path.join(args.model_dir, "metrics.jsonl"), "a")

@@ -73,6 +73,76 @@ def dataset_source(config: datasets.DatasetConfig, split: str,
   return raw.flat_map(lambda ex: tokenize(ex, **kwargs))
 
 
+def audio_source(dataset_name: str, split: Optional[str],
+                 codec: codecs.AudioCodec,
+                 data_root: Optional[str] = None,
+                 is_training: bool = True) -> core.Dataset:
+  """Audio-bearing examples from a dataset config (vocoder train/eval).
+
+  The note features are tokenized with the no-velocity vocab purely to
+  satisfy the per-dataset tokenizers; callers consume only ex['audio'].
+  split=None resolves to the train split (is_training) or the
+  train_eval split.
+  """
+  if dataset_name not in datasets.ALL_DATASET_CONFIGS:
+    raise ValueError(f"unknown dataset {dataset_name!r}; "
+                     f"known: {sorted(datasets.ALL_DATASET_CONFIGS)}")
+  config = datasets.ALL_DATASET_CONFIGS[dataset_name]
+  split = split or (config.train_split if is_training
+                    else config.train_eval_split)
+  return dataset_source(
+      config, split, codec,
+      vocabularies.build_codec(VOCAB_CONFIG_NOVELOCITY),
+      tasks.NoteRepresentationConfig(), data_root=data_root,
+      is_training=is_training)
+
+
+def synthetic_cached_task(prefix: str, *,
+                          audio_codec: codecs.AudioCodec,
+                          vocab_config: vocabularies.VocabularyConfig,
+                          note_rep: tasks.NoteRepresentationConfig,
+                          with_context: bool,
+                          program_granularity: str,
+                          num_examples: int,
+                          duration: float = 12.0,
+                          cache_root: Optional[str] = None
+                          ) -> tasks.Task:
+  """Synthetic-source Task whose name (= cache key) encodes everything
+  that changes the tokenized bytes — example count, vocab, note rep,
+  program granularity, clip duration — so a cache built under one
+  configuration is never silently reused under another."""
+  from music_spectrogram_diffusion_tpu.data import synthetic
+  sig = [prefix, f"{num_examples}ex"]
+  if vocab_config.abbrev_str:
+    sig.append(vocab_config.abbrev_str)
+  if not note_rep.include_ties:
+    sig.append("noties")
+  if note_rep.onsets_only:
+    sig.append("onsets")
+  if program_granularity != "full":
+    sig.append(program_granularity)
+  if duration != 12.0:
+    sig.append(f"{duration:g}s")
+  name = "_".join(sig)
+  task = tasks.Task(
+      name=name,
+      source_fn=functools.partial(synthetic.synthetic_source,
+                                  num_examples, duration=duration),
+      audio_codec=audio_codec,
+      vocab_config=vocab_config,
+      note_rep=note_rep,
+      with_context=with_context,
+      program_granularity=program_granularity)
+  if cache_root:
+    from music_spectrogram_diffusion_tpu.data import cache as cache_lib
+    cache_dir = os.path.join(cache_root, name)
+    if not cache_lib.cache_exists(cache_dir):
+      print(f"building synthetic cache {name}: "
+            f"{task.build_cache(cache_dir)}")
+    task.cache_dir = cache_dir
+  return task
+
+
 def make_dataset_task(config: datasets.DatasetConfig,
                       split: str,
                       *,

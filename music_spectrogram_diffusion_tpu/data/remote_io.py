@@ -52,17 +52,29 @@ class GcsFsFilesystem:
       self._fs = gcsfs.GCSFileSystem(token="anon")
       self._anon = True
 
+  @staticmethod
+  def _is_auth_error(e: Exception) -> bool:
+    """Only credential/permission failures justify the anon fallback;
+    transient IO errors and missing files must surface as-is (and must
+    not permanently downgrade a client that can read private buckets)."""
+    text = f"{type(e).__name__} {e}".lower()
+    return any(tok in text for tok in (
+        "401", "403", "unauthorized", "forbidden", "permission",
+        "accessdenied", "access denied", "invalid_grant", "credential",
+        "anonymous caller", "token"))
+
   def _call(self, op: Callable, *a):
     try:
       return op(self._fs, *a)
-    except Exception:
-      if self._anon:
+    except Exception as e:
+      if self._anon or not self._is_auth_error(e):
         raise
-      # Credentialed client failed (expired/invalid creds on a public
-      # bucket): retry anonymously and keep that client.
-      self._fs = self._gcsfs.GCSFileSystem(token="anon")
-      self._anon = True
-      return op(self._fs, *a)
+      # Credentialed client failed auth (expired/invalid creds on a
+      # public bucket): retry this call anonymously, but keep the
+      # credentialed client for later calls (it may still be the only
+      # way into a private mirror/cache bucket).
+      anon_fs = self._gcsfs.GCSFileSystem(token="anon")
+      return op(anon_fs, *a)
 
   def glob(self, pattern: str) -> List[str]:
     return [f"gs://{p}" for p in sorted(

@@ -96,7 +96,20 @@ def restore_checkpoint(path: str,
   if target is not None:
     restored = ckptr.restore(state_path, target)
   else:
-    restored = ckptr.restore(state_path)
+    try:
+      restored = ckptr.restore(state_path)
+    except ValueError:
+      # Target-less restore replays the shardings recorded at save time,
+      # which fails when the checkpoint was written on another platform
+      # (e.g. TPU-trained, restored in a CPU process). Rebuild a target
+      # from the checkpoint's own metadata with local placement instead.
+      import jax
+      sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+      target = jax.tree_util.tree_map(
+          lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                         sharding=sharding),
+          ckptr.metadata(state_path).item_metadata)
+      restored = ckptr.restore(state_path, target)
   meta_path = os.path.join(path, "METADATA")
   if os.path.exists(meta_path):
     restored = dict(restored)

@@ -106,3 +106,18 @@ def test_remote_io_gs_raises_not_silent():
   import pytest
   with pytest.raises(Exception):
     remote_io.glob("gs://magentadata/does/not/matter*")
+
+
+def test_gcsfs_auth_error_classifier():
+  """Only auth-shaped failures trigger the anonymous retry; transient or
+  missing-file errors surface as-is (no permanent anon downgrade)."""
+  from music_spectrogram_diffusion_tpu.data import remote_io
+
+  is_auth = remote_io.GcsFsFilesystem._is_auth_error
+  assert is_auth(Exception("HTTP 403: Forbidden"))
+  assert is_auth(PermissionError("access denied on bucket"))
+  assert is_auth(Exception("invalid_grant: bad credentials"))
+  assert is_auth(Exception("Anonymous caller does not have access"))
+  assert not is_auth(FileNotFoundError("gs://b/missing.tfrecord"))
+  assert not is_auth(Exception("HTTP 500: backend error"))
+  assert not is_auth(TimeoutError("read timed out"))

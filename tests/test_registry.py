@@ -1,5 +1,6 @@
 """Dataset-registry tasks: raw TFRecords -> model batches end to end."""
 
+import pytest
 import os
 
 import numpy as np
@@ -152,3 +153,51 @@ def test_ismir2021_preset_geometry():
   # Config JSON round-trips the new vocabulary fields.
   back = cfg_lib.ExperimentConfig.from_json(exp.to_json())
   assert back == exp
+
+
+def test_synthetic_cached_task_name_encodes_config(tmp_path):
+  """Distinct vocab/note-rep/count configs get distinct cache keys, so a
+  cache built under one configuration is never silently reused."""
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.data import registry, tasks
+
+  codec = codecs.MelGan()
+
+  def make(**kw):
+    kwargs = dict(audio_codec=codec,
+                  vocab_config=registry.VOCAB_CONFIG_NOVELOCITY,
+                  note_rep=tasks.NoteRepresentationConfig(),
+                  with_context=True, program_granularity="full",
+                  num_examples=8)
+    kwargs.update(kw)
+    return registry.synthetic_cached_task("train", **kwargs)
+
+  base = make()
+  assert "8ex" in base.name
+  assert make(num_examples=16).name != base.name
+  assert make(vocab_config=registry.VOCAB_CONFIG_FULL).name != base.name
+  ismir = make(vocab_config=registry.VOCAB_CONFIG_FULL,
+               note_rep=registry.ISMIR2021_NOTE_REP,
+               program_granularity="flat")
+  assert "noties" in ismir.name and "flat" in ismir.name
+  assert make(duration=6.0).name != base.name
+
+  # cache_root: builds once, then reuses (cache_dir set both times).
+  t1 = make(cache_root=str(tmp_path))
+  assert t1.cache_dir and (tmp_path / t1.name).exists()
+  t2 = make(cache_root=str(tmp_path))
+  assert t2.cache_dir == t1.cache_dir
+
+
+def test_audio_source_split_defaults():
+  """split=None resolves to train/train_eval without touching records."""
+  from music_spectrogram_diffusion_tpu.audio import codecs
+  from music_spectrogram_diffusion_tpu.data import registry
+
+  with pytest.raises(ValueError, match="unknown dataset"):
+    registry.audio_source("nope", None, codecs.MelGan())
+  # Constructing the source resolves the split lazily enough that no
+  # records need exist yet; iterating would fail, construction must not.
+  src = registry.audio_source("maestrov3", None, codecs.MelGan(),
+                              is_training=False)
+  assert src is not None
