@@ -40,6 +40,12 @@ def main():
                  help="post-cache transform thread pool size")
   p.add_argument("--log_period", type=int, default=100)
   p.add_argument("--checkpoint_period", type=int, default=None)
+  p.add_argument("--eval_batches", type=int, default=0,
+                 help="run a held-out eval pass of N batches every "
+                      "eval_period steps (reference train.gin:61 "
+                      "eval_period; 0 = off)")
+  p.add_argument("--eval_period", type=int, default=None,
+                 help="override the preset's eval period")
   p.add_argument("--seed", type=int, default=0)
   # Multi-host: run the same command on every host (see
   # parallel/multihost.py for the launch procedure).
@@ -82,6 +88,10 @@ def main():
     experiment = dataclasses.replace(
         experiment, train=dataclasses.replace(
             experiment.train, checkpoint_period=args.checkpoint_period))
+  if args.eval_period:
+    experiment = dataclasses.replace(
+        experiment, train=dataclasses.replace(
+            experiment.train, eval_period=args.eval_period))
 
   if args.mesh:
     data_par, model_par = map(int, args.mesh.split("x"))
@@ -168,9 +178,60 @@ def main():
   n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
   print(f"params: {n_params / 1e6:.1f}M")
 
+  # Held-out eval pass every eval_period steps (the role of the
+  # reference's seqio Evaluator, gin/train.gin:61,126-133): a fixed set
+  # of batches from a disjoint source, scored with the loss metrics.
+  eval_fn = None
+  if args.eval_batches:
+    import itertools
+
+    import numpy as np
+    if args.synthetic:
+      eval_task = registry.synthetic_cached_task(
+          "eval",
+          audio_codec=model.audio_codec,
+          vocab_config=experiment.vocab_config(),
+          note_rep=experiment.note_rep(),
+          with_context=experiment.with_context,
+          program_granularity=experiment.program_granularity,
+          num_examples=max(args.synthetic_examples // 8, 8),
+          seed=1000,  # disjoint from the training generator
+          cache_root=args.cache_root)
+    elif args.dataset != "mega":
+      from music_spectrogram_diffusion_tpu.data import datasets
+      config = datasets.ALL_DATASET_CONFIGS[args.dataset]
+      eval_task = registry.make_dataset_task(
+          config, config.train_eval_split,
+          vocab_config=experiment.vocab_config(),
+          note_rep=experiment.note_rep(),
+          program_granularity=experiment.program_granularity,
+          with_context=experiment.with_context,
+          data_root=args.data_root,
+          audio_codec=model.audio_codec,
+          cache_root=args.cache_root)
+    else:
+      eval_task = None
+      print("--eval_batches: no held-out eval for the mega mixture; "
+            "run cli.evaluate on the per-dataset eval splits instead")
+    if eval_task is not None:
+      eval_set = list(itertools.islice(
+          iter(eval_task.model_dataset(lengths, training=True, seed=1)
+               .repeat().batch(batch_size)), args.eval_batches))
+
+      def eval_fn(state):
+        per_batch = [t.eval_step(state, t.shard_batch(b))
+                     for b in eval_set]
+        out = {}
+        for k, v in per_batch[0].items():
+          if np.asarray(v).size != 1:
+            continue
+          out[k] = float(np.mean([float(np.asarray(m[k]))
+                                  for m in per_batch]))
+        return out
+
   train_loop = loop.TrainLoop(
       trainer=t, experiment=experiment, model_dir=args.model_dir,
-      log_period=args.log_period)
+      log_period=args.log_period, eval_fn=eval_fn)
   state = train_loop.maybe_resume(state)
   train_loop.run(iter(ds), state, rng=jax.random.PRNGKey(args.seed + 1))
 

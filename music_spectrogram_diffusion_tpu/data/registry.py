@@ -105,14 +105,17 @@ def synthetic_cached_task(prefix: str, *,
                           program_granularity: str,
                           num_examples: int,
                           duration: float = 12.0,
+                          seed: int = 0,
                           cache_root: Optional[str] = None
                           ) -> tasks.Task:
   """Synthetic-source Task whose name (= cache key) encodes everything
   that changes the tokenized bytes — example count, vocab, note rep,
-  program granularity, clip duration — so a cache built under one
-  configuration is never silently reused under another."""
+  program granularity, clip duration, generator seed — so a cache built
+  under one configuration is never silently reused under another."""
   from music_spectrogram_diffusion_tpu.data import synthetic
   sig = [prefix, f"{num_examples}ex"]
+  if seed:
+    sig.append(f"s{seed}")
   if vocab_config.abbrev_str:
     sig.append(vocab_config.abbrev_str)
   if not note_rep.include_ties:
@@ -127,7 +130,8 @@ def synthetic_cached_task(prefix: str, *,
   task = tasks.Task(
       name=name,
       source_fn=functools.partial(synthetic.synthetic_source,
-                                  num_examples, duration=duration),
+                                  num_examples, duration=duration,
+                                  seed=seed),
       audio_codec=audio_codec,
       vocab_config=vocab_config,
       note_rep=note_rep,
