@@ -59,6 +59,11 @@ def main():
                  help="converted TRILL .npz (tools/convert_trill.py); "
                       "enables TRILL-space FAD (also honours "
                       "$MSD_TRILL_WEIGHTS)")
+  p.add_argument("--mt3_checkpoint", default=None,
+                 help="t5x MT3 checkpoint dir (infer/mt3.py); registers "
+                      "the transcriber so rendered audio is scored with "
+                      "note-onset F1 (reference TranscribeAudio stage); "
+                      "implies --vocode")
   # Work sharding across independent processes/hosts (the Beam
   # pipeline's shard parallelism): each process takes every
   # num_shards-th song.
@@ -172,6 +177,11 @@ def main():
     print("TRILL embeddings enabled (FAD in TRILL space)")
   elif args.trill_weights:
     p.error(f"TRILL weights not found: {args.trill_weights}")
+  if args.mt3_checkpoint:
+    from music_spectrogram_diffusion_tpu.infer import mt3
+    mt3.register(args.mt3_checkpoint)
+    print("MT3 transcriber enabled (note-onset F1 on rendered audio)")
+    args.vocode = True
   from music_spectrogram_diffusion_tpu.infer import postprocessors
   audio_embedders = set(postprocessors.EMBEDDING_MODELS) - {"mel"}
   if audio_embedders and not args.vocode:

@@ -153,6 +153,23 @@ def evaluate_songs(
         emb_t_all = postprocessors.get_embeddings(raw_target)
         emb_p_all = postprocessors.get_embeddings(
             render.audio[:len(raw_target)])
+      if render.audio is not None:
+        # Transcription-based note F1 (reference TranscribeAudio stage,
+        # beam/evaluation.py:446-472 + metrics.py:422-446): transcribe
+        # the rendered audio (and the raw ground truth as the metric
+        # ceiling) with the registered transcriber, score against the
+        # song's true NoteSequence.
+        from music_spectrogram_diffusion_tpu.infer import transcription
+        transcriber = transcription.get_transcriber()
+        if transcriber is not None and "sequence" in segs[0]:
+          target_entry: Dict[str, Any] = {"sequence": segs[0]["sequence"]}
+          pred_audio = render.audio
+          if raw_target is not None:
+            target_entry["transcribed_audio"] = transcriber(raw_target)
+            pred_audio = pred_audio[:len(raw_target)]
+          pred_entry = {"transcribed_audio": transcriber(pred_audio)}
+          m.update(transcription.transcription_metrics(
+              [target_entry], [pred_entry]))
       results.append(SongEval(
           song_id=song_id, metrics=m,
           mel_pred=render.mel[:n] if keep_arrays else None,

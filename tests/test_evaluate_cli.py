@@ -116,6 +116,25 @@ def test_gt_raw_differs_from_gt_encoded():
       synth, songs, vocode=True, prediction_source="gt_encoded")
   r_raw = evaluation.evaluate_songs(
       synth, songs, vocode=True, prediction_source="gt_raw")
+
+  # Transcription plumbing (reference TranscribeAudio stage): with a
+  # transcriber registered, rendered audio is transcribed and scored
+  # against the song's true NoteSequence — both the model row and the
+  # GT-audio ceiling row must appear. The fake transcriber returns the
+  # true sequence, so every F1 pins to 1.
+  from music_spectrogram_diffusion_tpu.infer import transcription
+  ns_true = next(iter(songs.values()))[0]["sequence"]
+  transcription.register_transcriber(lambda audio: ns_true)
+  try:
+    r_t = evaluation.evaluate_songs(
+        synth, songs, vocode=True, prediction_source="gt_raw")
+  finally:
+    transcription.register_transcriber(None)
+  key = "Model Onset + program precision/recall/F1 (flat) F1"
+  gt_key = "GT Onset + program precision/recall/F1 (flat) F1"
+  assert r_t[0].metrics[key] == 1.0
+  assert r_t[0].metrics[gt_key] == 1.0
+  assert key not in r_raw[0].metrics  # no transcriber -> no metric
   # Mel space: gt_encoded is exact by definition; gt_raw's re-encode
   # reproduces the pipeline targets (clean-framing invariant).
   assert r_enc[0].metrics["mel_l2"] == 0.0
