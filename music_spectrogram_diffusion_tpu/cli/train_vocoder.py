@@ -38,6 +38,13 @@ def main():
   p.add_argument("--base_channels", type=int, default=512)
   p.add_argument("--adversarial", action="store_true")
   p.add_argument("--learning_rate", type=float, default=1e-4)
+  p.add_argument("--waveform_weight", type=float, default=None,
+                 help="weight of the sample-exact waveform L1 term "
+                      "(default: the trainer's 10.0). A conv decoder "
+                      "cannot phase-lock arbitrary frequencies, so a "
+                      "dominant waveform term drives amplitude collapse "
+                      "toward silence; pass 0 to train on the "
+                      "phase-invariant multi-resolution STFT loss only")
   p.add_argument("--log_period", type=int, default=50)
   p.add_argument("--checkpoint_period", type=int, default=500)
   p.add_argument("--seed", type=int, default=0)
@@ -62,12 +69,14 @@ def main():
   decoder = vocoder.SoundStreamDecoder(
       config=vocoder.SoundStreamConfig(base_channels=args.base_channels))
 
+  ww = {} if args.waveform_weight is None else {
+      "waveform_weight": args.waveform_weight}
   if args.adversarial:
     trainer = vocoder_train.AdversarialVocoderTrainer(
-        decoder, codec, g_learning_rate=args.learning_rate)
+        decoder, codec, g_learning_rate=args.learning_rate, **ww)
   else:
     trainer = vocoder_train.VocoderTrainer(
-        decoder, codec, learning_rate=args.learning_rate)
+        decoder, codec, learning_rate=args.learning_rate, **ww)
   state = trainer.create_state(jax.random.PRNGKey(args.seed),
                                mel_frames=args.segment_frames)
 
