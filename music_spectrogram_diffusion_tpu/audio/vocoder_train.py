@@ -114,6 +114,67 @@ class VocoderTrainer:
     return fn, state.params
 
 
+@dataclasses.dataclass
+class MagnitudeTrainer:
+  """Trainer for the MagnitudeNet mel-inversion (HybridGLVocoder).
+
+  Supervised per-frame regression: the target linear STFT magnitude is
+  computed from the paired audio with the SAME frame geometry Griffin-Lim
+  inverts (640/320/1024), so train and inference operate on identical
+  frames. Loss = spectral convergence + log-magnitude L1 on the
+  PREDICTED magnitudes directly (no audio reconstruction in the loop —
+  phase recovery is not trained)."""
+  net: "vocoder_lib.MagnitudeNet"
+  audio_codec: codecs.AudioCodec
+  learning_rate: float = 1e-3
+  frame_length: int = 640
+  fft_length: int = 1024
+
+  def __post_init__(self):
+    self.optimizer = optax.adamw(self.learning_rate)
+    self._step_fn = None
+
+  def create_state(self, rng: jax.Array, mel_frames: int = 64
+                   ) -> VocoderTrainState:
+    mel = jnp.zeros((1, mel_frames, self.audio_codec.n_dims))
+    params = self.net.init(rng, mel)
+    return VocoderTrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=self.optimizer.init(params))
+
+  def loss_fn(self, params, mel: Array, audio: Array
+              ) -> Tuple[Array, Dict[str, Array]]:
+    pred = self.net.apply(params, mel)
+    true = stft_ops.stft_magnitude(
+        audio, frame_length=self.frame_length,
+        frame_step=self.audio_codec.hop_size,
+        fft_length=self.fft_length)
+    n = min(pred.shape[1], true.shape[1])
+    pred, true = pred[:, :n], true[:, :n]
+    sc = jnp.linalg.norm(true - pred) / jnp.maximum(
+        jnp.linalg.norm(true), 1e-6)
+    mag = jnp.mean(jnp.abs(jnp.log(jnp.maximum(true, 1e-5)) -
+                           jnp.log(jnp.maximum(pred, 1e-5))))
+    total = sc + mag
+    return total, {"spectral_convergence": sc, "log_magnitude": mag,
+                   "loss": total}
+
+  def train_step(self, state: VocoderTrainState, mel: Array,
+                 audio: Array) -> Tuple[VocoderTrainState, Dict]:
+    if self._step_fn is None:
+      def step(state, mel, audio):
+        (_, metrics), grads = jax.value_and_grad(
+            self.loss_fn, has_aux=True)(state.params, mel, audio)
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return VocoderTrainState(
+            step=state.step + 1, params=params,
+            opt_state=opt_state), metrics
+      self._step_fn = jax.jit(step, donate_argnums=(0,))
+    return self._step_fn(state, mel, audio)
+
+
 @flax.struct.dataclass
 class AdversarialTrainState:
   step: Array

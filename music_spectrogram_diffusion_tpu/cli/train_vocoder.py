@@ -36,6 +36,13 @@ def main():
   p.add_argument("--batch", type=int, default=8)
   p.add_argument("--segment_frames", type=int, default=64)
   p.add_argument("--base_channels", type=int, default=512)
+  p.add_argument("--arch", default="soundstream",
+                 choices=["soundstream", "magnitude_gl"],
+                 help="'soundstream': end-to-end waveform decoder. "
+                      "'magnitude_gl': MagnitudeNet mel->linear-"
+                      "magnitude inversion served with Griffin-Lim "
+                      "phase (HybridGLVocoder) — beats the pinv "
+                      "baseline within minutes of training")
   p.add_argument("--adversarial", action="store_true")
   p.add_argument("--learning_rate", type=float, default=1e-4)
   p.add_argument("--waveform_weight", type=float, default=None,
@@ -71,12 +78,23 @@ def main():
 
   ww = {} if args.waveform_weight is None else {
       "waveform_weight": args.waveform_weight}
-  if args.adversarial:
+  if args.arch == "magnitude_gl":
+    if args.adversarial:
+      p.error("--adversarial applies to --arch soundstream only")
+    trainer = vocoder_train.MagnitudeTrainer(
+        vocoder.MagnitudeNet(), codec,
+        learning_rate=args.learning_rate)
+    arch_config = {"arch": "magnitude_gl", "hidden": 512}
+  elif args.adversarial:
     trainer = vocoder_train.AdversarialVocoderTrainer(
         decoder, codec, g_learning_rate=args.learning_rate, **ww)
+    arch_config = {"arch": "soundstream",
+                   "base_channels": args.base_channels}
   else:
     trainer = vocoder_train.VocoderTrainer(
         decoder, codec, learning_rate=args.learning_rate, **ww)
+    arch_config = {"arch": "soundstream",
+                   "base_channels": args.base_channels}
   state = trainer.create_state(jax.random.PRNGKey(args.seed),
                                mel_frames=args.segment_frames)
 
@@ -169,7 +187,9 @@ def main():
       params = (state.g_params if args.adversarial else state.params)
       opt_state = None if args.adversarial else state.opt_state
       path = checkpoints.save_checkpoint(args.model_dir, step, params,
-                                         opt_state=opt_state)
+                                         opt_state=opt_state,
+                                         config_json=json.dumps(
+                                             arch_config))
       print(f"saved {path}")
 
 

@@ -177,6 +177,60 @@ def test_load_trained_roundtrip(tmp_path):
     vocoder.load_trained(str(tmp_path / "missing"))
 
 
+def test_magnitude_trainer_reduces_loss():
+  """MagnitudeNet mel->linear-magnitude regression learns on real pairs."""
+  codec = codecs.MelGan()
+  net = vocoder.MagnitudeNet(hidden=32)
+  trainer = vocoder_train.MagnitudeTrainer(net, codec,
+                                           learning_rate=1e-3)
+  state = trainer.create_state(jax.random.PRNGKey(0), mel_frames=16)
+
+  def clips():
+    rng = np.random.RandomState(0)
+    while True:
+      ns = synthetic.random_note_sequence(rng, duration=2.0)
+      yield synthetic.render_note_sequence(ns, 16000, duration=2.0)
+
+  batches = vocoder_train.vocoder_batches(
+      itertools.islice(clips(), 50), codec, segment_frames=16,
+      batch_size=2)
+  first = last = None
+  for mel, audio in itertools.islice(batches, 10):
+    state, metrics = trainer.train_step(state, mel, audio)
+    if first is None:
+      first = float(metrics["loss"])
+    last = float(metrics["loss"])
+  assert np.isfinite(last) and last < first, (first, last)
+
+
+def test_load_trained_magnitude_gl_arch(tmp_path):
+  """The config.json sidecar routes load_trained to HybridGLVocoder."""
+  import json as json_lib
+
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  codec = codecs.MelGan()
+  net = vocoder.MagnitudeNet(hidden=16)
+  trainer = vocoder_train.MagnitudeTrainer(net, codec)
+  state = trainer.create_state(jax.random.PRNGKey(1), mel_frames=8)
+  model_dir = str(tmp_path / "magnet")
+  checkpoints.save_checkpoint(
+      model_dir, 3, state.params, opt_state=state.opt_state,
+      config_json=json_lib.dumps({"arch": "magnitude_gl", "hidden": 16}))
+
+  voc = vocoder.load_trained(model_dir, num_iters=2)
+  assert isinstance(voc, vocoder.HybridGLVocoder)
+  mel = np.random.RandomState(0).uniform(
+      -11, 4, (2, 8, 128)).astype(np.float32)
+  audio = np.asarray(voc(jax.numpy.asarray(mel)))
+  assert audio.shape == (2, 8 * 320)
+  assert np.isfinite(audio).all()
+  # Adapter plugs into AudioCodec.set_vocoder like the other vocoders.
+  codec.set_vocoder(*voc.as_codec_decoder())
+  out = codec.decode(jax.numpy.asarray(mel))
+  assert np.asarray(out).shape == (2, 8 * 320)
+
+
 def test_eval_vocoder_cli(tmp_path, monkeypatch, capsys):
   """eval_vocoder scores Griffin-Lim + a trained checkpoint and writes
   the comparison report."""
