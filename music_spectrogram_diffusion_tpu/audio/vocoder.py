@@ -153,14 +153,37 @@ class HybridGLVocoder:
 
   def __init__(self, params, *, n_fft: int = 1024, hop_length: int = 320,
                win_length: int = 640, hidden: int = 512,
-               num_iters: int = 32):
+               num_iters: int = 32, mel_consistency: bool = True):
     self.hop_length = hop_length
     self._params = dict(frame_length=win_length, frame_step=hop_length,
                         fft_length=n_fft)
     self._num_iters = num_iters
     self.net = MagnitudeNet(hidden=hidden, out_bins=n_fft // 2 + 1)
     self.params = params
-    self._apply = jax.jit(self.net.apply)
+    self._mel_consistency = mel_consistency
+    basis = stft_ops.linear_to_mel_matrix(
+        num_mel_bins=self.net.mel_bins,
+        num_spectrogram_bins=n_fft // 2 + 1,
+        sample_rate=self.net.sample_rate,
+        lower_edge_hertz=0.0,
+        upper_edge_hertz=self.net.sample_rate / 2)
+    self._basis = jnp.asarray(basis)
+    self._pinv = jnp.asarray(np.linalg.pinv(np.asarray(basis)))
+    self._apply = jax.jit(self._predict_magnitude)
+
+  def _predict_magnitude(self, params, log_mel: Array) -> Array:
+    magnitude = self.net.apply(params, log_mel)
+    if self._mel_consistency:
+      # Project back onto the mel-consistency manifold: the pinv baseline
+      # is near-exact at mel roundtrip *by construction* (pinv is the
+      # least-squares right inverse of the filterbank), and a free-form
+      # correction trades that away even as it improves |STFT| accuracy.
+      # Adding the pinv-lifted mel residual restores mel(pred) ~= mel
+      # while keeping the learned inter-bin detail in the filterbank
+      # null space, where mel carries no information anyway.
+      residual = jnp.exp(log_mel) - magnitude @ self._basis
+      magnitude = jnp.maximum(magnitude + residual @ self._pinv, 0.0)
+    return magnitude
 
   def __call__(self, log_mel: Array, rng=None) -> Array:
     magnitude = self._apply(self.params, log_mel)

@@ -103,7 +103,8 @@ def main():
       num_iters=args.griffin_lim_iters)}
   if args.checkpoint:
     vocoders["trained"] = vocoder.load_trained(
-        args.checkpoint, base_channels=args.base_channels)
+        args.checkpoint, base_channels=args.base_channels,
+        num_iters=args.griffin_lim_iters)
 
   report = {"clips": len(clips), "clip_seconds": args.clip_seconds,
             "seed": args.seed, "methods": {}}
