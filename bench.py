@@ -59,7 +59,7 @@ def main():
                  help="flash attention heads per grid step (experiment)")
   p.add_argument("--attn_kvblk", type=int, default=None,
                  help="flash attention kv block size (experiment)")
-  p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
+  p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpm++", "sde-dpm++"])
   p.add_argument("--guidance_weight", type=float, default=None,
                  help="CFG weight (1.0 = condition-only single forward, "
                       "the distilled-student serving protocol)")

@@ -36,7 +36,7 @@ def main():
   p.add_argument("--songs", type=int, default=2)
   p.add_argument("--songs_per_batch", type=int, default=2)
   p.add_argument("--steps", type=int, default=None)
-  p.add_argument("--sampler", default=None, choices=["ddpm", "ddim"],
+  p.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++", "sde-dpm++"],
                  help="override the sampler family (DDIM keeps quality "
                       "at far fewer steps; pair with --steps)")
   p.add_argument("--vocode", action="store_true")

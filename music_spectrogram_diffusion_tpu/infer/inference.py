@@ -95,7 +95,7 @@ class InferenceModel:
       sampler_steps: optionally override the sampler step count (e.g. 50
         for fast drafts vs the reference's 1000).
       sampler_name: optionally override the sampler family
-        ('ddpm' | 'ddim') — DDIM keeps quality at far fewer steps
+        ('ddpm' | 'ddim' | 'dpm++' | 'sde-dpm++') — reduced-step quality
         (reference SamplerConfig, diffusion_utils.py:40-47).
       mesh: optional ('data','model') mesh — params are sharded by the
         logical-axis rules and the batch over 'data' (multi-chip serve).

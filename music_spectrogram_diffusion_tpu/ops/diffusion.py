@@ -57,11 +57,27 @@ class GuidanceConfig:
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
-  name: str = "ddpm"  # 'ddpm' | 'ddim'
+  """Reverse-process sampler selection.
+
+  name:
+    'ddpm'      — ancestral sampling (reference default).
+    'ddim'      — deterministic first-order probability-flow update.
+    'dpm++'     — DPM-Solver++(2M): deterministic second-order multistep
+                  in the data (x0) parameterisation (Lu et al. 2022).
+    'sde-dpm++' — SDE-DPM-Solver++(2M), midpoint variant: the stochastic
+                  counterpart; reduces to ancestral-style noise injection
+                  with a second-order mean update.
+  The multistep samplers reuse the previous step's x0 prediction, so they
+  cost the same number of network evaluations per step as ddpm/ddim.
+  """
+  name: str = "ddpm"  # 'ddpm' | 'ddim' | 'dpm++' | 'sde-dpm++'
   schedule: Schedule = Schedule(name="cosine")
   num_steps: int = 1000
   clip_x0: bool = True
   logvar_type: str = "large"  # 'small' | 'large' | 'medium:<frac>'
+
+
+MULTISTEP_SAMPLERS = ("dpm++", "sde-dpm++")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -333,6 +349,60 @@ def ddpm_update(i: Array, rng: jax.Array, logsnr_s: Array, logsnr_t: Array,
   return jnp.where(i == 0, pred_x0, dist["mean"] + dist["std"] * noise)
 
 
+def dpm_update(i: Array, rng: Optional[jax.Array], logsnr_s: Array,
+               logsnr_t: Array, logsnr_t_prev: Array, pred_x0: Array,
+               prev_x0: Array, z_t: Array, *, num_steps: int,
+               stochastic: bool) -> Array:
+  """One DPM-Solver++(2M) step in the data parameterisation.
+
+  Exponential-integrator update over half-logSNR lambda = logsnr/2
+  (Lu et al. 2022, "DPM-Solver++"; SDE variant = the midpoint
+  'sde-dpmsolver++' scheme). The second-order term extrapolates from the
+  *previous* step's x0 prediction (multistep — no extra network evals):
+
+      D    = x0_t + (x0_t - x0_prev) / (2 r),   r = h_prev / h
+      det:  z_s = (sigma_s/sigma_t) z_t - alpha_s expm1(-h) D
+      sde:  z_s = (sigma_s/sigma_t) e^{-h} z_t - alpha_s expm1(-2h) D
+                  + sigma_s sqrt(-expm1(-2h)) xi
+
+  First-order fallback (D = x0_t) at the first step i == num_steps-1,
+  where no previous prediction exists; the deterministic first-order
+  update is exactly DDIM. Returns pred_x0 at i == 0, matching
+  ddpm/ddim_update.
+  """
+  shape = pred_x0.shape
+  lam_s = bcast_left(logsnr_s, shape) * 0.5
+  lam_t = bcast_left(logsnr_t, shape) * 0.5
+  lam_p = bcast_left(logsnr_t_prev, shape) * 0.5
+  h = lam_s - lam_t           # > 0: logSNR increases as noise is removed
+  h_prev = lam_t - lam_p
+
+  first_order = i >= num_steps - 1
+  # Guard the unused branch: at the first step h_prev == 0 (t_prev is
+  # clamped to t), which would otherwise put inf/nan into the where().
+  r = jnp.where(first_order, 1.0, h_prev / jnp.maximum(h, 1e-12))
+  coeff = jnp.where(first_order, 0.0, 1.0 / (2.0 * r))
+  d = pred_x0 + coeff * (pred_x0 - prev_x0)
+
+  logsnr_s_b = bcast_left(logsnr_s, shape)
+  logsnr_t_b = bcast_left(logsnr_t, shape)
+  alpha_s = jnp.sqrt(jax.nn.sigmoid(logsnr_s_b))
+  # sigma_s / sigma_t, computed in log space for stability at the ends.
+  sigma_ratio = jnp.exp(0.5 * (jax.nn.log_sigmoid(-logsnr_s_b)
+                               - jax.nn.log_sigmoid(-logsnr_t_b)))
+
+  if stochastic:
+    sigma_s = jnp.sqrt(jax.nn.sigmoid(-logsnr_s_b))
+    one_minus_e2h = -jnp.expm1(-2.0 * h)
+    noise = _normal_from_keys(rng, i, shape, pred_x0.dtype)
+    z_s = (sigma_ratio * jnp.exp(-h) * z_t + alpha_s * one_minus_e2h * d
+           + sigma_s * jnp.sqrt(one_minus_e2h) * noise)
+  else:
+    z_s = sigma_ratio * z_t - alpha_s * jnp.expm1(-h) * d
+
+  return jnp.where(i == 0, pred_x0, z_s)
+
+
 # A denoiser: (z_t, time) -> model_output; `guided` flavours return a pair.
 DenoiseFn = Callable[[Array, Array], Array]
 # Fused CFG denoiser: (z_t, time) -> (cond_output, uncond_output), evaluated
@@ -340,16 +410,19 @@ DenoiseFn = Callable[[Array, Array], Array]
 DenoisePairFn = Callable[[Array, Array], Tuple[Array, Array]]
 
 
-def sampler_step(
+def _predict_x0_eps(
     z_t: Array,
     i: Array,
     *,
-    rng: jax.Array,
     config: DiffusionConfig,
-    denoise_fn: Optional[DenoiseFn] = None,
-    denoise_pair_fn: Optional[DenoisePairFn] = None,
-) -> Array:
-  """One reverse step z_t -> z_s at scan index i (t=(i+1)/N, s=i/N)."""
+    denoise_fn: Optional[DenoiseFn],
+    denoise_pair_fn: Optional[DenoisePairFn],
+) -> Tuple[Array, Array, Array, Array]:
+  """Network eval + guidance + clipping shared by every sampler family.
+
+  Returns (pred_x0, pred_eps, logsnr_s, logsnr_t) at scan index i
+  (t=(i+1)/N, s=i/N).
+  """
   sampler = config.sampler
   num_steps = sampler.num_steps
   batch_size = z_t.shape[0]
@@ -385,12 +458,59 @@ def sampler_step(
     pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
     pred_eps = eps_from_x0(z_t, pred_x0, logsnr_t)
 
+  return pred_x0, pred_eps, logsnr_s, logsnr_t
+
+
+def sampler_step(
+    z_t: Array,
+    i: Array,
+    *,
+    rng: jax.Array,
+    config: DiffusionConfig,
+    denoise_fn: Optional[DenoiseFn] = None,
+    denoise_pair_fn: Optional[DenoisePairFn] = None,
+) -> Array:
+  """One reverse step z_t -> z_s at scan index i (t=(i+1)/N, s=i/N)."""
+  sampler = config.sampler
+  pred_x0, pred_eps, logsnr_s, logsnr_t = _predict_x0_eps(
+      z_t, i, config=config, denoise_fn=denoise_fn,
+      denoise_pair_fn=denoise_pair_fn)
+
   if sampler.name == "ddim":
     return ddim_update(i, logsnr_s, pred_x0, pred_eps)
   elif sampler.name == "ddpm":
     return ddpm_update(i, rng, logsnr_s, logsnr_t, pred_x0, z_t,
                        sampler.logvar_type)
   raise ValueError(f"Unknown sampler: {sampler.name}")
+
+
+def multistep_sampler_step(
+    z_t: Array,
+    prev_x0: Array,
+    i: Array,
+    *,
+    rng: jax.Array,
+    config: DiffusionConfig,
+    denoise_fn: Optional[DenoiseFn] = None,
+    denoise_pair_fn: Optional[DenoisePairFn] = None,
+) -> Tuple[Array, Array]:
+  """One DPM-Solver++(2M) step; returns (z_s, pred_x0) for the next step."""
+  sampler = config.sampler
+  num_steps = sampler.num_steps
+  batch_size = z_t.shape[0]
+  pred_x0, _, logsnr_s, logsnr_t = _predict_x0_eps(
+      z_t, i, config=config, denoise_fn=denoise_fn,
+      denoise_pair_fn=denoise_pair_fn)
+
+  # Noise level of the PREVIOUS network eval, clamped at t=1 so the first
+  # step (which takes the first-order branch anyway) stays finite.
+  t_prev = jnp.minimum((i + 2.0).astype(jnp.float32) / num_steps, 1.0)
+  logsnr_t_prev = jnp.full((batch_size,), logsnr_at(t_prev, sampler.schedule))
+
+  z_s = dpm_update(
+      i, rng, logsnr_s, logsnr_t, logsnr_t_prev, pred_x0, prev_x0, z_t,
+      num_steps=num_steps, stochastic=(sampler.name == "sde-dpm++"))
+  return z_s, pred_x0
 
 
 def sample(
@@ -425,6 +545,19 @@ def sample(
   # over ~1000 steps and audibly degrades output (reference note at
   # diffusion_utils.py:461).
   init_z = _normal_from_keys(rng, None, target_shape, jnp.float32)
+
+  if config.sampler.name in MULTISTEP_SAMPLERS:
+    def multistep_body(carry, i):
+      z_t, prev_x0 = carry
+      z_s, pred_x0 = multistep_sampler_step(
+          z_t, prev_x0, i, rng=rng, config=config,
+          denoise_fn=denoise_fn, denoise_pair_fn=denoise_pair_fn)
+      return (z_s, pred_x0), None
+
+    (pred_x0, _), _ = jax.lax.scan(
+        multistep_body, init=(init_z, jnp.zeros_like(init_z)),
+        xs=jnp.arange(config.sampler.num_steps), reverse=True)
+    return pred_x0
 
   def body(z_t, i):
     z_s = sampler_step(
