@@ -56,6 +56,9 @@ def main():
   p.add_argument("--size", default="small")
   p.add_argument("--steps", type=int, default=None,
                  help="sampler steps override (default: the checkpoint's\n                 configured count — e.g. a distilled checkpoint keeps its\n                 reduced steps)")
+  p.add_argument("--sampler", default=None,
+                 choices=["ddpm", "ddim", "dpm++", "sde-dpm++"],
+                 help="sampler family override (default: the checkpoint's)")
   p.add_argument("--seed", type=int, default=0)
   p.add_argument("--vocoder", default="griffin_lim",
                  choices=["griffin_lim", "none"])
@@ -81,7 +84,8 @@ def main():
   import dataclasses
   if args.checkpoint:
     model_wrapper = inference.InferenceModel(
-        args.checkpoint, sampler_steps=args.steps)
+        args.checkpoint, sampler_steps=args.steps,
+        sampler_name=args.sampler)
     model = model_wrapper.model
     params = model_wrapper.params
     experiment = model_wrapper.experiment
@@ -94,7 +98,8 @@ def main():
             cfg_lib.ExperimentConfig().diffusion,
             sampler=dataclasses.replace(
                 cfg_lib.ExperimentConfig().diffusion.sampler,
-                num_steps=args.steps or 1000)))
+                num_steps=args.steps or 1000,
+                **({"name": args.sampler} if args.sampler else {}))))
     model = inference.build_model(experiment)
     tl = experiment.task_lengths
     lengths = {"inputs": tl.inputs, "targets": tl.targets,
