@@ -24,6 +24,16 @@ import sys
 import time
 
 
+def _guidance_from_args(dops, args):
+  kwargs = {}
+  if args.guidance_weight is not None:
+    kwargs["eval_condition_weight"] = args.guidance_weight
+  if getattr(args, "guidance_interval", None):
+    lo, hi = args.guidance_interval.split(",")
+    kwargs["interval"] = (float(lo), float(hi))
+  return dops.GuidanceConfig(**kwargs)
+
+
 def main():
   p = argparse.ArgumentParser()
   p.add_argument("--quick", action="store_true",
@@ -63,6 +73,9 @@ def main():
   p.add_argument("--guidance_weight", type=float, default=None,
                  help="CFG weight (1.0 = condition-only single forward, "
                       "the distilled-student serving protocol)")
+  p.add_argument("--guidance_interval", default=None, metavar="LO,HI",
+                 help="apply CFG only at noise times LO <= t <= HI; "
+                      "steps outside run one conditional forward")
   p.add_argument("--typical", action="store_true",
                  help="measure a realistic full-song render (real token "
                       "lengths + input bucketing + segment chaining) "
@@ -108,8 +121,7 @@ def main():
       size, with_context=True, dropout_rate=0.0, dtype=args.dtype,
       use_fused_attention=args.fused_attention)
   module = network.ContextTransformer(config=net_cfg)
-  guidance = (dops.GuidanceConfig(eval_condition_weight=args.guidance_weight)
-              if args.guidance_weight is not None else dops.GuidanceConfig())
+  guidance = _guidance_from_args(dops, args)
   dcfg = dops.DiffusionConfig(
       guidance=guidance,
       sampler=dops.SamplerConfig(name=args.sampler, num_steps=num_steps))
@@ -387,8 +399,7 @@ def _typical_song_bench(size, num_steps, args):
       size, with_context=True, dropout_rate=0.0, dtype=args.dtype,
       use_fused_attention=args.fused_attention)
   module = network.ContextTransformer(config=net_cfg)
-  guidance = (dops.GuidanceConfig(eval_condition_weight=args.guidance_weight)
-              if args.guidance_weight is not None else dops.GuidanceConfig())
+  guidance = _guidance_from_args(dops, args)
   dcfg = dops.DiffusionConfig(
       guidance=guidance,
       sampler=dops.SamplerConfig(name=args.sampler, num_steps=num_steps))

@@ -39,6 +39,10 @@ def main():
   p.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++", "sde-dpm++"],
                  help="override the sampler family (DDIM keeps quality "
                       "at far fewer steps; pair with --steps)")
+  p.add_argument("--guidance_interval", default=None, metavar="LO,HI",
+                 help="apply CFG only at noise times LO <= t <= HI; "
+                      "steps outside run one conditional forward "
+                      "(Kynkaanniemi et al. 2024)")
   p.add_argument("--vocode", action="store_true")
   p.add_argument("--vocoder_checkpoint", default=None,
                  help="trained SoundStreamDecoder dir "
@@ -91,24 +95,36 @@ def main():
     p.error(f"unknown dataset {args.dataset!r}; "
             f"known: {sorted(datasets.ALL_DATASET_CONFIGS)}")
 
+  interval = None
+  if args.guidance_interval:
+    parts = args.guidance_interval.split(",")
+    if len(parts) != 2:
+      p.error("--guidance_interval expects LO,HI (e.g. 0.1,0.8)")
+    interval = (float(parts[0]), float(parts[1]))
+
   if args.checkpoint:
     wrapper = inference.InferenceModel(args.checkpoint,
                                        sampler_steps=args.steps,
-                                       sampler_name=args.sampler)
+                                       sampler_name=args.sampler,
+                                       guidance_interval=interval)
     model, params = wrapper.model, wrapper.params
     experiment, lengths = wrapper.experiment, wrapper.task_lengths
   else:
     experiment = cfg_lib.preset(args.preset)
-    if args.steps or args.sampler:
+    if args.steps or args.sampler or interval:
       overrides = {}
       if args.steps:
         overrides["num_steps"] = args.steps
       if args.sampler:
         overrides["name"] = args.sampler
-      experiment = dataclasses.replace(
-          experiment, diffusion=dataclasses.replace(
-              experiment.diffusion, sampler=dataclasses.replace(
-                  experiment.diffusion.sampler, **overrides)))
+      diffusion = dataclasses.replace(
+          experiment.diffusion, sampler=dataclasses.replace(
+              experiment.diffusion.sampler, **overrides))
+      if interval:
+        diffusion = dataclasses.replace(
+            diffusion, guidance=dataclasses.replace(
+                diffusion.guidance, interval=interval))
+      experiment = dataclasses.replace(experiment, diffusion=diffusion)
     model = inference.build_model(experiment)
     tl = experiment.task_lengths
     lengths = {"inputs": tl.inputs, "targets": tl.targets,

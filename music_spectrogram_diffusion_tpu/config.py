@@ -160,7 +160,10 @@ class ExperimentConfig:
     raw["task_lengths"] = TaskLengths(**raw["task_lengths"])
     d = raw["diffusion"]
     d["train_schedule"] = dops.Schedule(**d["train_schedule"])
-    d["guidance"] = dops.GuidanceConfig(**d["guidance"])
+    g = d["guidance"]
+    if g.get("interval") is not None:
+      g["interval"] = tuple(g["interval"])  # JSON round-trips tuples as lists
+    d["guidance"] = dops.GuidanceConfig(**g)
     s = d["sampler"]
     s["schedule"] = dops.Schedule(**s["schedule"])
     d["sampler"] = dops.SamplerConfig(**s)

@@ -87,6 +87,7 @@ class InferenceModel:
                experiment: Optional[cfg_lib.ExperimentConfig] = None,
                sampler_steps: Optional[int] = None,
                sampler_name: Optional[str] = None,
+               guidance_interval: Optional[Tuple[float, float]] = None,
                mesh: Optional[jax.sharding.Mesh] = None,
                compute_dtype: Optional[str] = None):
     """Args:
@@ -97,6 +98,9 @@ class InferenceModel:
       sampler_name: optionally override the sampler family
         ('ddpm' | 'ddim' | 'dpm++' | 'sde-dpm++') — reduced-step quality
         (reference SamplerConfig, diffusion_utils.py:40-47).
+      guidance_interval: optionally restrict CFG to noise times
+        t in [lo, hi]; steps outside run a single conditional forward
+        (see ops.diffusion.GuidanceConfig.interval).
       mesh: optional ('data','model') mesh — params are sharded by the
         logical-axis rules and the batch over 'data' (multi-chip serve).
       compute_dtype: 'bfloat16' runs the network (activations AND stored
@@ -128,6 +132,15 @@ class InferenceModel:
               experiment.diffusion,
               sampler=dataclasses.replace(
                   experiment.diffusion.sampler, **overrides)))
+    if guidance_interval is not None:
+      import dataclasses
+      experiment = dataclasses.replace(
+          experiment,
+          diffusion=dataclasses.replace(
+              experiment.diffusion,
+              guidance=dataclasses.replace(
+                  experiment.diffusion.guidance,
+                  interval=tuple(guidance_interval))))
     if compute_dtype is not None:
       import dataclasses
       experiment = dataclasses.replace(experiment, dtype=compute_dtype)

@@ -154,9 +154,18 @@ class DiffusionModelBase:
             method=self.module.decode)
         return out, out
 
+    # Single batch-B conditional forward, used by the sampler only for
+    # steps outside guidance.interval (when set).
+    def denoise_cond_fn(z, time):
+      return self.module.apply(
+          {"params": params}, encodings_and_masks, z, time,
+          enable_dropout=False, cross_kv=cross_kv,
+          method=self.module.decode)
+
     pred_x0 = dops.sample(
         rng, target_shape, self.diffusion_config,
-        denoise_pair_fn=denoise_pair_fn)
+        denoise_pair_fn=denoise_pair_fn,
+        denoise_cond_fn=denoise_cond_fn)
 
     features = self.audio_codec.scale_to_features(
         pred_x0, input_range=(-1.0, 1.0))

@@ -50,9 +50,20 @@ class Schedule:
 
 @dataclasses.dataclass(frozen=True)
 class GuidanceConfig:
-  """Classifier-free guidance (Ho & Salimans 2021)."""
+  """Classifier-free guidance (Ho & Salimans 2021).
+
+  interval: optional (t_lo, t_hi). When set, the CFG mix (and its
+    unconditional forward) runs only at noise times t_lo <= t <= t_hi;
+    outside the window the sampler uses the conditional prediction alone
+    (Kynkäänniemi et al. 2024, "Applying guidance in a limited interval").
+    Steps outside the window cost ONE network forward instead of the
+    fused two-row CFG forward, which matters for batched serving where
+    the sampler is compute-bound. None (default) = guidance everywhere,
+    matching the reference (diffusion_utils.py eval_scan).
+  """
   drop_condition_prob: float = 0.1
   eval_condition_weight: float = 5.0
+  interval: Optional[Tuple[float, float]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -408,6 +419,9 @@ DenoiseFn = Callable[[Array, Array], Array]
 # Fused CFG denoiser: (z_t, time) -> (cond_output, uncond_output), evaluated
 # as ONE batched network forward by the caller.
 DenoisePairFn = Callable[[Array, Array], Tuple[Array, Array]]
+# Conditional-only denoiser: (z_t, time) -> cond_output in a single
+# batch-B forward. Used for steps outside GuidanceConfig.interval.
+DenoiseCondFn = Callable[[Array, Array], Array]
 
 
 def _predict_x0_eps(
@@ -417,6 +431,7 @@ def _predict_x0_eps(
     config: DiffusionConfig,
     denoise_fn: Optional[DenoiseFn],
     denoise_pair_fn: Optional[DenoisePairFn],
+    denoise_cond_fn: Optional[DenoiseCondFn] = None,
 ) -> Tuple[Array, Array, Array, Array]:
   """Network eval + guidance + clipping shared by every sampler family.
 
@@ -437,11 +452,38 @@ def _predict_x0_eps(
   use_guidance = cond_wt != 1.0
 
   if use_guidance:
-    if denoise_pair_fn is not None:
-      cond_out, uncond_out = denoise_pair_fn(z_t, time)
+    def _pair(z, tm):
+      if denoise_pair_fn is not None:
+        return denoise_pair_fn(z, tm)
+      return (denoise_fn(z, tm, True),  # pytype: disable=wrong-arg-count
+              denoise_fn(z, tm, False))  # pytype: disable=wrong-arg-count
+
+    interval = config.guidance.interval
+    if interval is None:
+      cond_out, uncond_out = _pair(z_t, time)
     else:
-      cond_out = denoise_fn(z_t, time, True)  # pytype: disable=wrong-arg-count
-      uncond_out = denoise_fn(z_t, time, False)  # pytype: disable=wrong-arg-count
+      # Guidance interval: outside [t_lo, t_hi] skip the unconditional
+      # forward entirely. Both lax.cond branches return a (cond, uncond)
+      # pair of identical shapes; the cheap branch duplicates the
+      # conditional output, which the weighted mix below reduces to the
+      # conditional prediction exactly (w*c + (1-w)*c == c). lax.cond
+      # executes only the taken branch per step, so steps outside the
+      # window run ONE batch-B forward instead of the 2B CFG forward.
+      def _cond_only(z, tm):
+        if denoise_cond_fn is not None:
+          out = denoise_cond_fn(z, tm)
+        elif denoise_fn is not None:
+          out = denoise_fn(z, tm, True)  # pytype: disable=wrong-arg-count
+        else:
+          # No single-forward callable available: fall back to the pair
+          # (correct semantics, no compute savings).
+          out, _ = denoise_pair_fn(z, tm)
+        return out, out
+
+      t_lo, t_hi = float(interval[0]), float(interval[1])
+      in_window = jnp.logical_and(t >= t_lo, t <= t_hi)
+      cond_out, uncond_out = jax.lax.cond(in_window, _pair, _cond_only,
+                                          z_t, time)
     cond = x0_eps_from_model_output(z_t, time, cond_out, config)
     uncond = x0_eps_from_model_output(z_t, time, uncond_out, config)
     pred_eps = cond_wt * cond["eps"] + (1.0 - cond_wt) * uncond["eps"]
@@ -469,12 +511,13 @@ def sampler_step(
     config: DiffusionConfig,
     denoise_fn: Optional[DenoiseFn] = None,
     denoise_pair_fn: Optional[DenoisePairFn] = None,
+    denoise_cond_fn: Optional[DenoiseCondFn] = None,
 ) -> Array:
   """One reverse step z_t -> z_s at scan index i (t=(i+1)/N, s=i/N)."""
   sampler = config.sampler
   pred_x0, pred_eps, logsnr_s, logsnr_t = _predict_x0_eps(
       z_t, i, config=config, denoise_fn=denoise_fn,
-      denoise_pair_fn=denoise_pair_fn)
+      denoise_pair_fn=denoise_pair_fn, denoise_cond_fn=denoise_cond_fn)
 
   if sampler.name == "ddim":
     return ddim_update(i, logsnr_s, pred_x0, pred_eps)
@@ -493,6 +536,7 @@ def multistep_sampler_step(
     config: DiffusionConfig,
     denoise_fn: Optional[DenoiseFn] = None,
     denoise_pair_fn: Optional[DenoisePairFn] = None,
+    denoise_cond_fn: Optional[DenoiseCondFn] = None,
 ) -> Tuple[Array, Array]:
   """One DPM-Solver++(2M) step; returns (z_s, pred_x0) for the next step."""
   sampler = config.sampler
@@ -500,7 +544,7 @@ def multistep_sampler_step(
   batch_size = z_t.shape[0]
   pred_x0, _, logsnr_s, logsnr_t = _predict_x0_eps(
       z_t, i, config=config, denoise_fn=denoise_fn,
-      denoise_pair_fn=denoise_pair_fn)
+      denoise_pair_fn=denoise_pair_fn, denoise_cond_fn=denoise_cond_fn)
 
   # Noise level of the PREVIOUS network eval, clamped at t=1 so the first
   # step (which takes the first-order branch anyway) stays finite.
@@ -520,6 +564,7 @@ def sample(
     *,
     denoise_fn: Optional[DenoiseFn] = None,
     denoise_pair_fn: Optional[DenoisePairFn] = None,
+    denoise_cond_fn: Optional[DenoiseCondFn] = None,
 ) -> Array:
   """Full reverse diffusion as one on-device `lax.scan`.
 
@@ -535,6 +580,9 @@ def sample(
       per step under guidance (reference-compatible path).
     denoise_pair_fn: (z, time) -> (cond_output, uncond_output) in one
       batched forward (fast path). Exactly one of the two must be given.
+    denoise_cond_fn: optional (z, time) -> cond_output single-forward
+      callable, used for steps outside `config.guidance.interval` so they
+      skip the unconditional work (ignored when interval is None).
 
   Returns:
     pred_x0 in [-1, 1] (network output space), float32.
@@ -551,7 +599,8 @@ def sample(
       z_t, prev_x0 = carry
       z_s, pred_x0 = multistep_sampler_step(
           z_t, prev_x0, i, rng=rng, config=config,
-          denoise_fn=denoise_fn, denoise_pair_fn=denoise_pair_fn)
+          denoise_fn=denoise_fn, denoise_pair_fn=denoise_pair_fn,
+          denoise_cond_fn=denoise_cond_fn)
       return (z_s, pred_x0), None
 
     (pred_x0, _), _ = jax.lax.scan(
@@ -562,7 +611,8 @@ def sample(
   def body(z_t, i):
     z_s = sampler_step(
         z_t, i, rng=rng, config=config,
-        denoise_fn=denoise_fn, denoise_pair_fn=denoise_pair_fn)
+        denoise_fn=denoise_fn, denoise_pair_fn=denoise_pair_fn,
+        denoise_cond_fn=denoise_cond_fn)
     return z_s, None
 
   pred_x0, _ = jax.lax.scan(
