@@ -59,6 +59,9 @@ def main():
   p.add_argument("--sampler", default=None,
                  choices=["ddpm", "ddim", "dpm++", "sde-dpm++"],
                  help="sampler family override (default: the checkpoint's)")
+  p.add_argument("--guidance_interval", default=None, metavar="LO,HI",
+                 help="apply CFG only at noise times LO <= t <= HI; "
+                      "steps outside run one conditional forward")
   p.add_argument("--seed", type=int, default=0)
   p.add_argument("--vocoder", default="griffin_lim",
                  choices=["griffin_lim", "none"])
@@ -82,24 +85,33 @@ def main():
   print(f"  {len(ns.notes)} notes, {ns.total_time:.1f}s")
 
   import dataclasses
+  interval = None
+  if args.guidance_interval:
+    lo, hi = args.guidance_interval.split(",")
+    interval = (float(lo), float(hi))
   if args.checkpoint:
     model_wrapper = inference.InferenceModel(
         args.checkpoint, sampler_steps=args.steps,
-        sampler_name=args.sampler)
+        sampler_name=args.sampler, guidance_interval=interval)
     model = model_wrapper.model
     params = model_wrapper.params
     experiment = model_wrapper.experiment
     lengths = model_wrapper.task_lengths
   else:
     print("NOTE: no checkpoint given; using random weights (smoke test).")
+    base = cfg_lib.ExperimentConfig().diffusion
+    diffusion = dataclasses.replace(
+        base,
+        sampler=dataclasses.replace(
+            base.sampler, num_steps=args.steps or 1000,
+            **({"name": args.sampler} if args.sampler else {})))
+    if interval:
+      diffusion = dataclasses.replace(
+          diffusion, guidance=dataclasses.replace(
+              diffusion.guidance, interval=interval))
     experiment = dataclasses.replace(
         cfg_lib.ExperimentConfig(size=args.size, dropout_rate=0.0),
-        diffusion=dataclasses.replace(
-            cfg_lib.ExperimentConfig().diffusion,
-            sampler=dataclasses.replace(
-                cfg_lib.ExperimentConfig().diffusion.sampler,
-                num_steps=args.steps or 1000,
-                **({"name": args.sampler} if args.sampler else {}))))
+        diffusion=diffusion)
     model = inference.build_model(experiment)
     tl = experiment.task_lengths
     lengths = {"inputs": tl.inputs, "targets": tl.targets,

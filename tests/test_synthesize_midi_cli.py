@@ -29,7 +29,7 @@ def test_synthesize_midi_cli(tmp_path, monkeypatch):
   monkeypatch.setattr(sys, "argv", [
       "synthesize_midi", "--midi", midi_path, "--output", out_path,
       "--size", "tiny", "--steps", "2", "--sampler", "sde-dpm++",
-      "--seed", "0"])
+      "--guidance_interval", "0.1,0.8", "--seed", "0"])
   synthesize_midi.main()
 
   assert os.path.exists(out_path)
