@@ -35,9 +35,12 @@ done
 
 run_eval() {  # tag [extra evaluate args...]
   tag=$1; shift
+  # --vocode renders audio (Griffin-Lim): the population-FAD metric
+  # computes embeddings from rendered audio, so without it the sweep
+  # would silently drop its headline metric.
   python -m music_spectrogram_diffusion_tpu.cli.evaluate \
     --checkpoint "$MODEL_DIR" --synthetic --seed 1000 --songs 8 \
-    --output_dir "$OUT/$tag" "$@"
+    --vocode --output_dir "$OUT/$tag" "$@"
   echo "=== done $tag ==="
 }
 
