@@ -6,16 +6,18 @@ synthesized per second of compute — for one 5.12 s segment (256 frames @
 chip. Reference baseline: ~1.0x realtime on TPUv4 (reference
 README.md:20); target >10x on one v5e chip.
 
-Default protocol: 250-step DDPM + CFG — the quality-validated serving
-configuration (measured +2.9% population FAD vs the 1000-step protocol
-on a model trained in this repo; BENCH.md "Round 3"). `--steps 1000`
-reproduces the reference's strict protocol (same per-step cost, 4x the
-scan).
+Default protocol: 100-step SDE-DPM-Solver++(2M) + CFG restricted to the
+t in [0.1, 0.8] guidance interval — the quality-validated serving
+configuration: on a model trained in this repo it MATCHES the 1000-step
+DDPM reference protocol's quality (population FAD 4768 vs 4871, i.e.
+-2.1%, on 8 held-out songs; BENCH.md "Round 3") at 10x fewer steps.
+`--steps 1000 --sampler ddpm --guidance_interval none` reproduces the
+reference's strict protocol (same per-step cost, 10x the scan).
 
 Prints ONE JSON line:
   {"metric": "synthesis_realtime_factor", "value": N,
    "unit": "audio_seconds_per_second", "vs_baseline": N, "steps": S,
-   "sampler": "ddpm"}
+   "sampler": "sde-dpm++"}
 """
 
 import argparse
@@ -28,8 +30,9 @@ def _guidance_from_args(dops, args):
   kwargs = {}
   if args.guidance_weight is not None:
     kwargs["eval_condition_weight"] = args.guidance_weight
-  if getattr(args, "guidance_interval", None):
-    lo, hi = args.guidance_interval.split(",")
+  interval = getattr(args, "guidance_interval", None)
+  if interval and interval.lower() != "none":
+    lo, hi = interval.split(",")
     kwargs["interval"] = (float(lo), float(hi))
   return dops.GuidanceConfig(**kwargs)
 
@@ -40,8 +43,9 @@ def main():
                  help="small model, 50 steps (smoke test)")
   p.add_argument("--size", default=None, help="model size override")
   p.add_argument("--steps", type=int, default=None,
-                 help="sampler steps (default 250, the quality-validated "
-                      "serving protocol; 1000 = the reference's strict "
+                 help="sampler steps (default 100, the quality-validated "
+                      "serving protocol; 1000 + --sampler ddpm "
+                      "--guidance_interval none = the reference's strict "
                       "protocol)")
   p.add_argument("--batch", type=int, default=None,
                  help="segment batch (default 1; --train defaults 16)")
@@ -69,13 +73,19 @@ def main():
                  help="flash attention heads per grid step (experiment)")
   p.add_argument("--attn_kvblk", type=int, default=None,
                  help="flash attention kv block size (experiment)")
-  p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim", "dpm++", "sde-dpm++"])
+  p.add_argument("--sampler", default="sde-dpm++",
+                 choices=["ddpm", "ddim", "dpm++", "sde-dpm++"],
+                 help="sampler family (default sde-dpm++, the "
+                      "quality-validated serving protocol)")
   p.add_argument("--guidance_weight", type=float, default=None,
                  help="CFG weight (1.0 = condition-only single forward, "
                       "the distilled-student serving protocol)")
-  p.add_argument("--guidance_interval", default=None, metavar="LO,HI",
+  p.add_argument("--guidance_interval", default="0.1,0.8", metavar="LO,HI",
                  help="apply CFG only at noise times LO <= t <= HI; "
-                      "steps outside run one conditional forward")
+                      "steps outside run one conditional forward "
+                      "(default 0.1,0.8 — measured BETTER quality than "
+                      "always-on CFG on the trained proxy; 'none' "
+                      "disables)")
   p.add_argument("--typical", action="store_true",
                  help="measure a realistic full-song render (real token "
                       "lengths + input bucketing + segment chaining) "
@@ -91,7 +101,7 @@ def main():
   args = p.parse_args()
 
   size = args.size or ("small" if args.quick else "base")
-  num_steps = args.steps or (50 if args.quick else 250)
+  num_steps = args.steps or (50 if args.quick else 100)
 
   import jax
   import numpy as np
