@@ -55,6 +55,8 @@ run_eval teacher_sdedpm32  --sampler sde-dpm++ --steps 32
 # Deterministic second-order (expected at the ODE ceiling).
 run_eval teacher_dpm64 --sampler dpm++ --steps 64
 # Guidance interval (CFG only at mid noise levels).
+run_eval teacher_ddpm1000_iv18  --sampler ddpm      --steps 1000 --guidance_interval 0.1,0.8
 run_eval teacher_ddpm250_iv18   --sampler ddpm      --steps 250 --guidance_interval 0.1,0.8
 run_eval teacher_sdedpm100_iv18 --sampler sde-dpm++ --steps 100 --guidance_interval 0.1,0.8
+run_eval teacher_sdedpm64_iv18  --sampler sde-dpm++ --steps 64  --guidance_interval 0.1,0.8
 echo "SWEEP DONE"
