@@ -90,6 +90,14 @@ class SamplerConfig:
 
 MULTISTEP_SAMPLERS = ("dpm++", "sde-dpm++")
 
+# Below this sampler batch size the fused 2B CFG forward is HBM-bandwidth-
+# bound on TPU (a single-row forward costs the same wall time), so the
+# guidance interval is applied as a zero-overhead gated mix inside one
+# scan; at or above it, compute dominates and the interval's out-of-window
+# steps run a genuine single conditional forward (scan split). Measured
+# crossover on v5e: batch 2-4 (BENCH.md round 3).
+CHEAP_BRANCH_MIN_BATCH = 4
+
 
 @dataclasses.dataclass(frozen=True)
 class DiffusionConfig:
@@ -594,31 +602,114 @@ def sample(
   # diffusion_utils.py:461).
   init_z = _normal_from_keys(rng, None, target_shape, jnp.float32)
 
+  # The guidance interval is STATIC, so it never needs a per-step
+  # lax.cond (measured ~0.2 ms/step of dispatch at batch 1). Two
+  # trace-time strategies, picked by batch size:
+  #
+  # * batch < CHEAP_BRANCH_MIN_BATCH: the 2B CFG forward is HBM-
+  #   bandwidth-bound, so a single conditional forward costs the SAME
+  #   as the fused pair (BENCH.md round 2/3) — skipping the uncond row
+  #   buys nothing. Run ONE scan with the fused pair everywhere and
+  #   gate the MIX: outside the window the uncond output is replaced by
+  #   the cond output (w*c + (1-w)*c == c). Zero overhead.
+  # * batch >= CHEAP_BRANCH_MIN_BATCH: compute-bound; split the reverse
+  #   scan into up to three consecutive scans over contiguous index
+  #   ranges — [t > hi] -> [hi >= t >= lo] -> [t < lo] — where the
+  #   outside segments run the single batch-B conditional forward.
+  #
+  # Both strategies are numerically identical to each other and to the
+  # per-step lax.cond in _predict_x0_eps (pinned by tests).
+  segments = None  # list of (indices ascending, use_guidance_pair)
+  interval = config.guidance.interval
+  if interval is not None and config.guidance.eval_condition_weight != 1.0:
+    t_lo, t_hi = float(interval[0]), float(interval[1])
+    config = dataclasses.replace(
+        config, guidance=dataclasses.replace(config.guidance, interval=None))
+    # Capture the caller's callables before any rebinding below.
+    orig_pair_fn, orig_fn = denoise_pair_fn, denoise_fn
+
+    def _guided_pair(z, tm):
+      if orig_pair_fn is not None:
+        return orig_pair_fn(z, tm)
+      return (orig_fn(z, tm, True),  # pytype: disable=wrong-arg-count
+              orig_fn(z, tm, False))  # pytype: disable=wrong-arg-count
+
+    if target_shape[0] < CHEAP_BRANCH_MIN_BATCH:
+      def gated_pair(z, tm):
+        cond_out, uncond_out = _guided_pair(z, tm)
+        in_window = jnp.logical_and(tm >= t_lo, tm <= t_hi)
+        return cond_out, jnp.where(
+            bcast_left(in_window, uncond_out.shape), uncond_out, cond_out)
+
+      denoise_pair_fn, denoise_fn = gated_pair, None
+    else:
+      n = config.sampler.num_steps
+      ts = (np.arange(n) + 1.0) / n
+      inside = (ts >= t_lo) & (ts <= t_hi)
+      segments = []
+      start = 0
+      for i in range(1, n + 1):
+        if i == n or inside[i] != inside[start]:
+          segments.append((np.arange(start, i), bool(inside[start])))
+          start = i
+
+      def _cond_pair(z, tm):
+        if denoise_cond_fn is not None:
+          out = denoise_cond_fn(z, tm)
+        elif orig_fn is not None:
+          out = orig_fn(z, tm, True)  # pytype: disable=wrong-arg-count
+        else:
+          out, _ = orig_pair_fn(z, tm)
+        return out, out
+
+      def segment_pair_fn(use_pair):
+        return _guided_pair if use_pair else _cond_pair
+
   if config.sampler.name in MULTISTEP_SAMPLERS:
-    def multistep_body(carry, i):
-      z_t, prev_x0 = carry
-      z_s, pred_x0 = multistep_sampler_step(
-          z_t, prev_x0, i, rng=rng, config=config,
-          denoise_fn=denoise_fn, denoise_pair_fn=denoise_pair_fn,
+    def multistep_body(pair_fn):
+      def body(carry, i):
+        z_t, prev_x0 = carry
+        z_s, pred_x0 = multistep_sampler_step(
+            z_t, prev_x0, i, rng=rng, config=config,
+            denoise_fn=None if pair_fn else denoise_fn,
+            denoise_pair_fn=pair_fn or denoise_pair_fn,
+            denoise_cond_fn=denoise_cond_fn)
+        return (z_s, pred_x0), None
+      return body
+
+    carry = (init_z, jnp.zeros_like(init_z))
+    if segments is None:
+      carry, _ = jax.lax.scan(
+          multistep_body(None), init=carry,
+          xs=jnp.arange(config.sampler.num_steps), reverse=True)
+    else:
+      for idx, use_pair in reversed(segments):  # highest t first
+        carry, _ = jax.lax.scan(
+            multistep_body(segment_pair_fn(use_pair)), init=carry,
+            xs=jnp.asarray(idx), reverse=True)
+    return carry[0]
+
+  def plain_body(pair_fn):
+    def body(z_t, i):
+      z_s = sampler_step(
+          z_t, i, rng=rng, config=config,
+          denoise_fn=None if pair_fn else denoise_fn,
+          denoise_pair_fn=pair_fn or denoise_pair_fn,
           denoise_cond_fn=denoise_cond_fn)
-      return (z_s, pred_x0), None
+      return z_s, None
+    return body
 
-    (pred_x0, _), _ = jax.lax.scan(
-        multistep_body, init=(init_z, jnp.zeros_like(init_z)),
+  z = init_z
+  if segments is None:
+    z, _ = jax.lax.scan(
+        plain_body(None), init=z,
         xs=jnp.arange(config.sampler.num_steps), reverse=True)
-    return pred_x0
-
-  def body(z_t, i):
-    z_s = sampler_step(
-        z_t, i, rng=rng, config=config,
-        denoise_fn=denoise_fn, denoise_pair_fn=denoise_pair_fn,
-        denoise_cond_fn=denoise_cond_fn)
-    return z_s, None
-
-  pred_x0, _ = jax.lax.scan(
-      body, init=init_z, xs=jnp.arange(config.sampler.num_steps),
-      reverse=True)
-  return pred_x0
+  else:
+    for idx, use_pair in reversed(segments):  # highest t first
+      z, _ = jax.lax.scan(
+          plain_body(segment_pair_fn(use_pair)), init=z,
+          xs=jnp.asarray(idx), reverse=True)
+  return z
 
 
 # ---------------------------------------------------------------------------

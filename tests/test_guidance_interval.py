@@ -70,11 +70,15 @@ def test_empty_interval_equals_cond_only():
 
 
 @pytest.mark.parametrize("name", ["ddpm", "dpm++"])
-def test_partial_interval_matches_time_gated_reference(name):
+@pytest.mark.parametrize("batch", [2, 4])
+def test_partial_interval_matches_time_gated_reference(name, batch):
   """interval=(lo,hi) == an always-paired sampler whose uncond output is
-  replaced by cond outside the window (same math, no compute saving)."""
+  replaced by cond outside the window (same math, no compute saving).
+
+  batch=2 exercises the gated-mix strategy (below CHEAP_BRANCH_MIN_BATCH),
+  batch=4 the scan-split strategy with real single-forward segments."""
   key = jax.random.PRNGKey(2)
-  shape = (2, 6, 4)
+  shape = (batch, 6, 4)
   lo, hi = 0.3, 0.8
 
   def gated_pair(z, time):
