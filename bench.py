@@ -60,10 +60,13 @@ def main():
                       "matmuls already use bf16 MXU passes); bf16 halves "
                       "serving HBM instead")
   p.add_argument("--param_dtype", default=None,
-                 choices=["float32", "bfloat16"],
+                 choices=["float32", "bfloat16", "int8"],
                  help="stored-param dtype before the sampler loop (the "
                       "sampler streams the full param tree from HBM "
-                      "every step; defaults to --dtype)")
+                      "every step; defaults to --dtype). int8 = "
+                      "weight-only quantization of the large kernels "
+                      "with per-channel scales + in-VMEM dequant "
+                      "(ops/quantize.py); rest of the tree is bf16")
   p.add_argument("--fused_attention", action=argparse.BooleanOptionalAction,
                  default=True,
                  help="adaptive Pallas flash attention (default on; the "
@@ -168,6 +171,14 @@ def main():
   if param_dtype == "bfloat16":
     from music_spectrogram_diffusion_tpu.infer import inference
     params = jax.jit(inference.cast_params_bf16)(params)
+  elif param_dtype == "int8":
+    from music_spectrogram_diffusion_tpu.infer import inference
+    from music_spectrogram_diffusion_tpu.ops import quantize as qops
+    params = qops.quantize_params(
+        jax.jit(inference.cast_params_bf16)(params))
+    total, i8 = qops.quantized_bytes(params)
+    print(f"# int8 tree: {total/1e6:.0f} MB total, {i8/1e6:.0f} MB int8 "
+          f"({100*i8/total:.0f}%)", file=sys.stderr)
   sync(jax.tree_util.tree_leaves(params)[0])
   init_s = time.time() - t0
 

@@ -109,8 +109,11 @@ class InferenceModel:
         split the reference found necessary: diffusion_utils.py:461,
         network.py:452-456). Measured perf-neutral at 1000 steps on v5e
         (the sampler is MXU-bound and XLA's f32 matmuls already run as
-        bf16 passes); the win is halved param HBM for serving. None
-        keeps the checkpoint's dtype.
+        bf16 passes); the win is halved param HBM for serving. 'int8'
+        additionally quantizes every large kernel to int8 with
+        per-output-channel scales (ops/quantize.py) — halves weight HBM
+        traffic again, which is the batch-1 sampler bound. None keeps
+        the checkpoint's dtype.
     """
     restored = checkpoints.restore_checkpoint(checkpoint_path)
     if experiment is None:
@@ -143,15 +146,29 @@ class InferenceModel:
                   interval=tuple(guidance_interval))))
     if compute_dtype is not None:
       import dataclasses
-      experiment = dataclasses.replace(experiment, dtype=compute_dtype)
+      # int8 quantizes the weights; the network's compute dtype is bf16.
+      net_dtype = "bfloat16" if compute_dtype == "int8" else compute_dtype
+      experiment = dataclasses.replace(experiment, dtype=net_dtype)
     self.experiment = experiment
     self.model = build_model(experiment)
     self.params = restored["params"]
     if compute_dtype == "bfloat16":
       self.params = cast_params_bf16(self.params)
+    elif compute_dtype == "int8":
+      # Weight-only int8 serving (ops/quantize.py): large kernels become
+      # int8 + per-column scales (halved HBM weight traffic — the batch-1
+      # sampler bound); everything else takes the bf16 cast.
+      from music_spectrogram_diffusion_tpu.ops import quantize as qops
+      self.params = qops.quantize_params(cast_params_bf16(self.params))
     self.step = restored.get("step", -1)
     self.mesh = mesh
     if mesh is not None:
+      if compute_dtype == "int8":
+        # The logical-axis sharding rules come from init_variables, whose
+        # tree has no kernel_scale leaves; int8 multi-chip serving needs
+        # partitioning rules on the Pallas matmul first.
+        raise NotImplementedError(
+            "compute_dtype='int8' is single-device serving for now")
       self.params = self._shard_params(mesh)
     self._predict = jax.jit(
         lambda p, b, k: self.model.predict(p, b, k))

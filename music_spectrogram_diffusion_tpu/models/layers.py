@@ -126,6 +126,21 @@ class DenseGeneral(nn.Module):
                   int(np.prod(features)))
     kernel = param_with_axes("kernel", self.kernel_init, flat_shape,
                              jnp.float32, axes=self.kernel_axes)
+    if kernel.dtype == jnp.int8:
+      # Int8 serving tree (ops.quantize.quantize_params): the sibling
+      # kernel_scale leaf exists only in quantized trees, so it is
+      # declared lazily — init always produces the float tree.
+      scale_axes = ((self.kernel_axes[-1],) if self.kernel_axes else None)
+      scale = param_with_axes("kernel_scale", nn.initializers.ones,
+                              (flat_shape[1],), jnp.float32,
+                              axes=scale_axes)
+      from music_spectrogram_diffusion_tpu.ops import quantize as qops
+      lead = tuple(i for i in range(inputs.ndim) if i not in axis)
+      x2d = jnp.transpose(inputs, lead + tuple(axis)).reshape(
+          (-1, flat_shape[0]))
+      out2d = qops.quantized_matmul(x2d, kernel, scale,
+                                    out_dtype=self.dtype)
+      return out2d.reshape(tuple(inputs.shape[i] for i in lead) + features)
     kernel = jnp.reshape(jnp.asarray(kernel, self.dtype), kernel_shape)
     contract = tuple(range(len(axis)))
     return lax.dot_general(inputs, kernel, ((axis, contract), ((), ())))

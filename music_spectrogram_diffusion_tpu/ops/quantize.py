@@ -1,0 +1,218 @@
+"""Int8 weight-only quantization for serving.
+
+The reference framework has no quantization story; this is a TPU-native
+serving optimization. At batch 1 the CFG sampler is HBM-bandwidth-bound:
+every denoising step streams the full parameter tree from HBM (BENCH.md
+roofline), so after the bf16 serving cast the remaining 2 bytes/weight
+ARE the step time. Symmetric per-output-channel int8 halves that again.
+
+Two execution paths for the matmul:
+
+* A Pallas kernel (`_qmm_pallas`): the int8 weight block is DMA'd to
+  VMEM and dequantized in registers (int8 -> bf16 is exact for values
+  in [-127, 127]); the MXU sees bf16 and the f32 accumulator is scaled
+  by the per-column factor once, on the final K block. HBM traffic for
+  the weight is 1 byte/element — the point of the exercise.
+* A pure-XLA fallback (`_qmm_xla`): dequantize-then-dot. XLA
+  materializes the dequantized kernel (HBM write + read back), so it
+  saves nothing at batch 1, but it runs everywhere (CPU tests, meshes
+  with sharded activations) and under `jax.grad`.
+
+Quantization error: per-channel absmax int8 on T5-style kernels is a
+~0.2% relative weight error; end-to-end quality is measured on the
+trained round-3 teacher in BENCH.md (quantized vs bf16 eval protocol).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# Mosaic tiling: int8 sublane tile is 32, bf16 is 16, f32 is 8. Blocks
+# below honor the strictest constraint that applies to each operand.
+_LANE = 128
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def quantize_kernel(w: Array) -> Tuple[Array, Array]:
+  """Symmetric per-output-channel int8 quantization of a 2D kernel.
+
+  Returns (q, scale): q int8 [K, N], scale float32 [N] with
+  w ~= q * scale[None, :]. Scales are computed in float32 regardless of
+  the input dtype (bf16 checkpoints quantize from their bf16 values).
+  """
+  if w.ndim != 2:
+    raise ValueError(f"quantize_kernel wants a 2D kernel, got {w.shape}")
+  w32 = w.astype(jnp.float32)
+  absmax = jnp.max(jnp.abs(w32), axis=0)
+  scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+  q = jnp.clip(jnp.round(w32 / scale[None, :]), -127, 127).astype(jnp.int8)
+  return q, scale.astype(jnp.float32)
+
+
+def dequantize_kernel(q: Array, scale: Array,
+                      dtype: jnp.dtype = jnp.float32) -> Array:
+  """Inverse of quantize_kernel (used by the XLA fallback and tests)."""
+  return (q.astype(jnp.float32) * scale[None, :].astype(jnp.float32)
+          ).astype(dtype)
+
+
+def _qmm_xla(x: Array, q: Array, scale: Array, out_dtype) -> Array:
+  w = dequantize_kernel(q, scale, x.dtype)
+  return jnp.dot(x, w).astype(out_dtype)
+
+
+def _round_up(value: int, multiple: int) -> int:
+  return ((value + multiple - 1) // multiple) * multiple
+
+
+def _pick_block(dim: int, candidates=(512, 256, 128)) -> Optional[int]:
+  for c in candidates:
+    if dim % c == 0:
+      return c
+  return None
+
+
+def _qmm_kernel(x_r, w_r, s_r, out_r):
+  x = x_r[...].astype(jnp.bfloat16)
+  w = w_r[...].astype(jnp.bfloat16)  # exact: |q| <= 127 < 2**8
+  acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+  out_r[...] = (acc * s_r[...].astype(jnp.float32)).astype(out_r.dtype)
+
+
+def _qmm_pallas(x: Array, q: Array, scale: Array, out_dtype,
+                interpret: bool) -> Array:
+  """Serving-shape matmul: x stays VMEM-resident, weights stream int8.
+
+  The serving M is small (2 CFG rows x 256 frames = 512) and K <= a few
+  thousand, so a whole (bm, K) slab of x fits VMEM. The grid tiles only
+  (M, N); with j innermost the x block index is constant across the N
+  sweep, so Mosaic DMAs each x slab once and every int8 weight column
+  block exactly once — HBM weight traffic is the int8 size, which is
+  the point. (A (m, n, k)-tiled variant was measured first: its x-block
+  re-reads per (n, k) step made it SLOWER than the XLA bf16 baseline —
+  15.5us vs 5.6us for 512x768@768x2048.)
+  """
+  m, k = x.shape
+  n = q.shape[1]
+  bn = _pick_block(n, candidates=(256, 128))
+  assert bn is not None  # guarded by caller
+  bm = min(512, _round_up(m, 16))
+  m_pad = _round_up(m, bm)
+  if m_pad != m:
+    x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
+  grid = (m_pad // bm, n // bn)
+  out = pl.pallas_call(
+      _qmm_kernel,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+      cost_estimate=pl.CostEstimate(
+          flops=2 * m_pad * n * k,
+          bytes_accessed=2 * m_pad * k + k * n + 2 * m_pad * n + 4 * n,
+          transcendentals=0),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+      interpret=interpret,
+  )(x, q, scale.reshape(1, n))
+  return out[:m] if m_pad != m else out
+
+
+def quantized_matmul(x: Array, q: Array, scale: Array, *,
+                     out_dtype=None,
+                     use_pallas: Optional[bool] = None,
+                     interpret: bool = False) -> Array:
+  """x @ (q * scale[None, :]) with the weight kept int8 in HBM.
+
+  Args:
+    x: [M, K] activations (any float dtype; MXU compute is bf16).
+    q: [K, N] int8 kernel.
+    scale: [N] float32 per-output-channel scales.
+    out_dtype: output dtype (defaults to x.dtype).
+    use_pallas: force the kernel on/off; None picks the Pallas path on
+      TPU when the shape is tileable (K and N multiples of 128).
+    interpret: run the Pallas kernel interpreted (CPU tests).
+  """
+  if x.ndim != 2 or q.ndim != 2:
+    raise ValueError(f"quantized_matmul wants 2D operands, got "
+                     f"{x.shape} @ {q.shape}")
+  out_dtype = out_dtype or x.dtype
+  tileable = (_pick_block(q.shape[0]) is not None
+              and _pick_block(q.shape[1], (256, 128)) is not None)
+  if use_pallas is None:
+    use_pallas = tileable and (interpret or jax.default_backend() == "tpu")
+  if use_pallas and not interpret and jax.default_backend() != "tpu":
+    interpret = True  # Mosaic only lowers on TPU (tests run interpreted).
+  if not use_pallas:
+    return _qmm_xla(x, q, scale, out_dtype)
+  return _qmm_pallas(x, q, scale, out_dtype, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint transform.
+# ---------------------------------------------------------------------------
+
+# Sub-modules whose kernels must keep full precision: the f32 output
+# projection (the precision split the reference found necessary,
+# network.py:452-456 — also excluded from the bf16 serving cast).
+_DEFAULT_EXCLUDE = ("spec_out_dense",)
+
+
+def quantize_params(params, *, min_dim: int = 512,
+                    exclude=_DEFAULT_EXCLUDE):
+  """Rewrite a param tree for int8 serving.
+
+  Every 2D float "kernel" leaf with min(shape) >= min_dim and both dims
+  tileable (multiples of 128) is replaced by an int8 kernel plus a
+  sibling "kernel_scale" leaf; `models.layers.DenseGeneral` dispatches
+  on the kernel dtype at apply time, so no module re-configuration is
+  needed. Small kernels (output heads, FiLM time embeddings below
+  min_dim) and anything under a path component in `exclude` stay float.
+  """
+  def rewrite(tree, path):
+    if not isinstance(tree, (dict,)):
+      return tree
+    out = {}
+    for name, sub in tree.items():
+      if (name == "kernel" and hasattr(sub, "ndim") and sub.ndim == 2
+          and jnp.issubdtype(sub.dtype, jnp.floating)
+          and min(sub.shape) >= min_dim
+          and sub.shape[0] % _LANE == 0 and sub.shape[1] % _LANE == 0
+          and not any(e in path for e in exclude)):
+        q, s = quantize_kernel(jnp.asarray(sub))
+        out["kernel"] = q
+        out["kernel_scale"] = s
+      elif isinstance(sub, dict):
+        out[name] = rewrite(sub, path + (name,))
+      else:
+        out[name] = sub
+    return out
+
+  return rewrite(params, ())
+
+
+def quantized_bytes(params) -> Tuple[int, int]:
+  """(total_bytes, int8_bytes) of a serving tree — for logging."""
+  total = int8 = 0
+  for leaf in jax.tree_util.tree_leaves(params):
+    nbytes = int(np.prod(leaf.shape)) * np.dtype(leaf.dtype).itemsize
+    total += nbytes
+    if leaf.dtype == np.int8:
+      int8 += nbytes
+  return total, int8
