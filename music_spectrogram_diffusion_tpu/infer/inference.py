@@ -163,12 +163,10 @@ class InferenceModel:
     self.step = restored.get("step", -1)
     self.mesh = mesh
     if mesh is not None:
-      if compute_dtype == "int8":
-        # The logical-axis sharding rules come from init_variables, whose
-        # tree has no kernel_scale leaves; int8 multi-chip serving needs
-        # partitioning rules on the Pallas matmul first.
-        raise NotImplementedError(
-            "compute_dtype='int8' is single-device serving for now")
+      # int8 trees shard too: quantized kernels keep the float kernel's
+      # layout, scales follow the output dim, and the Pallas matmul's
+      # custom_partitioning rules (ops/quantize.py:_qmm_partitioned)
+      # keep those layouts through the jit.
       self.params = self._shard_params(mesh)
     self._predict = jax.jit(
         lambda p, b, k: self.model.predict(p, b, k))
@@ -191,6 +189,11 @@ class InferenceModel:
           lambda r: self.model.init_variables(r, shapes),
           jax.random.PRNGKey(0))
     shardings = mesh_lib.param_shardings(variables, mesh)
+    flat_params = jax.tree_util.tree_flatten_with_path(self.params)[0]
+    if any(k[-1].key == "kernel_scale" for k, _ in flat_params):
+      from music_spectrogram_diffusion_tpu.ops import quantize as qops
+      shardings = qops.quantized_param_shardings(
+          self.params, shardings, mesh)
     return jax.tree.map(
         lambda p, s: jax.device_put(np.asarray(p), s),
         self.params, shardings)

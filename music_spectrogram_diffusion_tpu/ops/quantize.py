@@ -25,6 +25,7 @@ trained round-3 teacher in BENCH.md (quantized vs bf16 eval protocol).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -134,10 +135,109 @@ def _qmm_pallas(x: Array, q: Array, scale: Array, out_dtype,
   return out[:m] if m_pad != m else out
 
 
+def _qmm_dispatch(x: Array, q: Array, scale: Array, out_dtype,
+                  use_pallas: Optional[bool], interpret: bool) -> Array:
+  """Pick Pallas vs XLA for the (possibly per-shard local) shapes."""
+  tileable = (_pick_block(q.shape[0]) is not None
+              and _pick_block(q.shape[1], (256, 128)) is not None)
+  if use_pallas is None:
+    use_pallas = tileable and (interpret or jax.default_backend() == "tpu")
+  use_pallas = use_pallas and tileable
+  if use_pallas and not interpret and jax.default_backend() != "tpu":
+    interpret = True  # Mosaic only lowers on TPU (tests run interpreted).
+  if not use_pallas:
+    return _qmm_xla(x, q, scale, out_dtype)
+  return _qmm_pallas(x, q, scale, out_dtype, interpret)
+
+
+@functools.lru_cache(maxsize=None)
+def _qmm_partitioned(out_dtype_name: str, use_pallas: Optional[bool],
+                     interpret: bool):
+  """custom_partitioning wrapper so the int8 matmul keeps mesh layouts.
+
+  `pallas_call` is opaque to GSPMD; without rules a sharded serving tree
+  would be all-gathered around every quantized matmul. The einsum-like
+  Shardy rule "m k, k n, n -> m n" lets shardings propagate, and the
+  partition callback runs the kernel per-shard:
+
+  * N-sharded kernel (wi / query / kv projections under the 'model'
+    axis): every device multiplies against its column slice; the scale
+    slice rides along; no collectives.
+  * K-sharded kernel (wo / attention-out projections): each device
+    computes its partial product — the per-column scale commutes with
+    the K-sum, so it is applied per shard — then one psum over the
+    sharded axis reduces the partials.
+  * The batch (M) dim shards freely over 'data'.
+
+  Dims that don't divide their shard count are replicated instead. The
+  local-shape dispatch inside `impl` re-checks tileability, so a shard
+  too small for the Pallas tiling falls back to the XLA path on that
+  mesh instead of crashing.
+  """
+  from jax.experimental.custom_partitioning import custom_partitioning
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  out_dtype = np.dtype(out_dtype_name)
+
+  def impl(x, q, scale):
+    return _qmm_dispatch(x, q, scale, out_dtype, use_pallas, interpret)
+
+  f = custom_partitioning(impl)
+
+  def partition(mesh, arg_shapes, result_shape):
+    del result_shape
+    xs, qs, _ = arg_shapes
+
+    def spec_of(s):
+      return getattr(s.sharding, "spec", None) or PartitionSpec()
+
+    xspec, qspec = spec_of(xs), spec_of(qs)
+    m_ax = xspec[0] if len(xspec) > 0 else None
+    k_ax = qspec[0] if len(qspec) > 0 else None
+    n_ax = qspec[1] if len(qspec) > 1 else None
+    if k_ax is None and len(xspec) > 1:
+      k_ax = xspec[1]
+
+    def nshards(ax):
+      names = (() if ax is None else
+               (ax,) if isinstance(ax, str) else
+               tuple(a for a in ax if a))
+      count = 1
+      for nm in names:
+        count *= mesh.shape[nm]
+      return count
+
+    if xs.shape[0] % nshards(m_ax) != 0:
+      m_ax = None
+    if qs.shape[0] % nshards(k_ax) != 0:
+      k_ax = None
+    if qs.shape[1] % nshards(n_ax) != 0:
+      n_ax = None
+
+    arg_shardings = (
+        NamedSharding(mesh, PartitionSpec(m_ax, k_ax)),
+        NamedSharding(mesh, PartitionSpec(k_ax, n_ax)),
+        NamedSharding(mesh, PartitionSpec(n_ax)),
+    )
+    out_sharding = NamedSharding(mesh, PartitionSpec(m_ax, n_ax))
+
+    def lower_fn(x, q, scale):
+      out = impl(x, q, scale)
+      if k_ax is not None:
+        out = jax.lax.psum(out, k_ax)
+      return out
+
+    return mesh, lower_fn, out_sharding, arg_shardings
+
+  f.def_partition(partition=partition, sharding_rule="m k, k n, n -> m n")
+  return f
+
+
 def quantized_matmul(x: Array, q: Array, scale: Array, *,
                      out_dtype=None,
                      use_pallas: Optional[bool] = None,
-                     interpret: bool = False) -> Array:
+                     interpret: bool = False,
+                     partitioned: bool = True) -> Array:
   """x @ (q * scale[None, :]) with the weight kept int8 in HBM.
 
   Args:
@@ -148,20 +248,19 @@ def quantized_matmul(x: Array, q: Array, scale: Array, *,
     use_pallas: force the kernel on/off; None picks the Pallas path on
       TPU when the shape is tileable (K and N multiples of 128).
     interpret: run the Pallas kernel interpreted (CPU tests).
+    partitioned: wrap in custom_partitioning so sharded serving trees
+      keep their mesh layouts (no-op on one device; set False to call
+      the raw dispatch, e.g. under jax.grad, which custom_partitioning
+      does not support).
   """
   if x.ndim != 2 or q.ndim != 2:
     raise ValueError(f"quantized_matmul wants 2D operands, got "
                      f"{x.shape} @ {q.shape}")
   out_dtype = out_dtype or x.dtype
-  tileable = (_pick_block(q.shape[0]) is not None
-              and _pick_block(q.shape[1], (256, 128)) is not None)
-  if use_pallas is None:
-    use_pallas = tileable and (interpret or jax.default_backend() == "tpu")
-  if use_pallas and not interpret and jax.default_backend() != "tpu":
-    interpret = True  # Mosaic only lowers on TPU (tests run interpreted).
-  if not use_pallas:
-    return _qmm_xla(x, q, scale, out_dtype)
-  return _qmm_pallas(x, q, scale, out_dtype, interpret)
+  if not partitioned:
+    return _qmm_dispatch(x, q, scale, out_dtype, use_pallas, interpret)
+  f = _qmm_partitioned(np.dtype(out_dtype).name, use_pallas, interpret)
+  return f(x, q, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +304,35 @@ def quantize_params(params, *, min_dim: int = 512,
     return out
 
   return rewrite(params, ())
+
+
+def quantized_param_shardings(qparams, float_shardings, mesh):
+  """Sharding tree for a quantized serving tree.
+
+  `float_shardings` is the NamedSharding tree the un-quantized params
+  would take (from `parallel.mesh.param_shardings` over the init
+  metadata — init always produces the float tree, so it has no
+  kernel_scale leaves). Quantized kernels keep their float kernel's
+  sharding (same shape, same layout); each kernel_scale takes the
+  kernel's output-dim (last-axis) sharding, matching the per-column
+  slice `_qmm_partitioned` expects.
+  """
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  def walk(p, s):
+    out = {}
+    for name, sub in p.items():
+      if name == "kernel_scale":
+        kspec = s["kernel"].spec
+        n_ax = kspec[1] if len(kspec) > 1 else None
+        out[name] = NamedSharding(mesh, PartitionSpec(n_ax))
+      elif isinstance(sub, dict):
+        out[name] = walk(sub, s[name])
+      else:
+        out[name] = s[name]
+    return out
+
+  return walk(qparams, float_shardings)
 
 
 def quantized_bytes(params) -> Tuple[int, int]:

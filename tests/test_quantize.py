@@ -155,6 +155,64 @@ def test_quantized_predict_runs(quantized_model):
   assert np.all(np.isfinite(np.asarray(feats)))
 
 
+def _put(arr, mesh, *axes):
+  from jax.sharding import NamedSharding, PartitionSpec
+  return jax.device_put(arr, NamedSharding(mesh, PartitionSpec(*axes)))
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_partitioned_matmul_sharded(use_pallas):
+  """K- and N-sharded int8 matmuls keep layouts and match unsharded."""
+  from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
+
+  mesh = mesh_lib.make_mesh(data=4, model=2)
+  r = np.random.RandomState(0)
+  x = jnp.asarray(r.randn(8, 256).astype(np.float32))
+  w = jnp.asarray(r.randn(256, 512).astype(np.float32))
+  q, s = qops.quantize_kernel(w)
+  kwargs = dict(use_pallas=use_pallas, interpret=use_pallas)
+  ref = np.asarray(qops.quantized_matmul(x, q, s, partitioned=False,
+                                         use_pallas=False))
+  fn = jax.jit(lambda a, b, c: qops.quantized_matmul(a, b, c, **kwargs))
+
+  # N-sharded (wi-style): kernel columns over 'model', batch over 'data'.
+  out_n = fn(_put(x, mesh, "data", None), _put(q, mesh, None, "model"),
+             _put(s, mesh, "model"))
+  assert out_n.sharding.spec == jax.sharding.PartitionSpec("data", "model")
+  np.testing.assert_allclose(np.asarray(out_n), ref, rtol=3e-2, atol=3e-1)
+
+  # K-sharded (wo-style): kernel rows over 'model' -> psum of partials.
+  out_k = fn(_put(x, mesh, "data", "model"), _put(q, mesh, "model", None),
+             _put(s, mesh))
+  assert out_k.sharding.spec[:1] == ("data",)
+  np.testing.assert_allclose(np.asarray(out_k), ref, rtol=3e-2, atol=3e-1)
+
+
+def test_quantized_predict_sharded_matches_unsharded(quantized_model):
+  """Full int8 predict on a {data:4, model:2} mesh == single-device."""
+  from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
+
+  m, _, qparams, batch = quantized_model
+  ref, _ = jax.jit(m.predict)(qparams, batch, jax.random.PRNGKey(0))
+
+  mesh = mesh_lib.make_mesh(data=4, model=2)
+  variables = jax.eval_shape(
+      lambda r: m.init_variables(
+          r, {k: v.shape for k, v in batch.items()},
+          {k: v.dtype for k, v in batch.items()}),
+      jax.random.PRNGKey(0))
+  fshard = mesh_lib.param_shardings(variables, mesh)
+  qshard = qops.quantized_param_shardings(qparams, fshard, mesh)
+  qp = jax.tree.map(lambda p, s: jax.device_put(np.asarray(p), s),
+                    qparams, qshard)
+  # At least one kernel must actually be model-sharded for this to test
+  # anything (mlp 256 over model=2 -> local 128).
+  assert any("model" in str(s.spec) for s in jax.tree.leaves(qshard))
+  out, _ = jax.jit(m.predict)(qp, batch, jax.random.PRNGKey(0))
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             rtol=1e-4, atol=1e-4)
+
+
 def test_inference_model_int8(tmp_path):
   """Checkpoint -> InferenceModel(compute_dtype='int8') end to end."""
   from music_spectrogram_diffusion_tpu.infer import inference
