@@ -54,6 +54,10 @@ def main():
                  choices=["model", "gt_encoded", "gt_raw"])
   p.add_argument("--always_mask_context", action="store_true",
                  help="render every segment without context (ablation)")
+  p.add_argument("--compute_dtype", default=None,
+                 choices=["float32", "bfloat16", "int8"],
+                 help="serving dtype for the checkpointed model: bf16 "
+                      "cast or weight-only int8 (ops/quantize.py)")
   p.add_argument("--seed", type=int, default=0)
   p.add_argument("--vggish_weights", default=None,
                  help="converted VGGish .npz (tools/convert_vggish.py); "
@@ -106,7 +110,8 @@ def main():
     wrapper = inference.InferenceModel(args.checkpoint,
                                        sampler_steps=args.steps,
                                        sampler_name=args.sampler,
-                                       guidance_interval=interval)
+                                       guidance_interval=interval,
+                                       compute_dtype=args.compute_dtype)
     model, params = wrapper.model, wrapper.params
     experiment, lengths = wrapper.experiment, wrapper.task_lengths
   else:

@@ -59,6 +59,47 @@ def test_evaluate_cli_real_dataset_path(tmp_path, monkeypatch):
   assert metrics["timing/audio_seconds"] > 0
 
 
+def test_evaluate_cli_checkpoint_int8(tmp_path, monkeypatch):
+  """--checkpoint + --compute_dtype int8 runs the quantized serving tree
+  through the full synthetic eval (tiny kernels sit below the 512 gate,
+  so the tree loads via the float path — the flag plumbing and the
+  quantized-tree predict dispatch are what this covers; int8 numerics
+  are pinned in test_quantize.py)."""
+  import jax
+
+  from music_spectrogram_diffusion_tpu import config as cfg_lib
+  from music_spectrogram_diffusion_tpu.cli import evaluate as evaluate_cli
+  from music_spectrogram_diffusion_tpu.infer import inference
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  exp = dataclasses.replace(
+      cfg_lib.preset("context_tiny"), dropout_rate=0.0,
+      task_lengths=cfg_lib.TaskLengths(inputs=64, targets=16,
+                                       targets_context=16))
+  model = inference.build_model(exp)
+  tl = exp.task_lengths
+  variables = model.init_variables(jax.random.PRNGKey(0), {
+      "encoder_input_tokens": (1, tl.inputs),
+      "encoder_continuous_inputs": (1, tl.targets_context, 128),
+      "encoder_continuous_mask": (1, tl.targets_context),
+      "decoder_target_tokens": (1, tl.targets, 128),
+  })
+  ckpt = str(tmp_path / "ckpt")
+  checkpoints.save_checkpoint(ckpt, step=0, params=variables["params"],
+                              config_json=exp.to_json())
+
+  out_dir = str(tmp_path / "eval_int8")
+  monkeypatch.setattr(sys, "argv", [
+      "evaluate", "--checkpoint", ckpt, "--synthetic", "--steps", "2",
+      "--songs", "1", "--output_dir", out_dir,
+      "--compute_dtype", "int8", "--seed", "0"])
+  evaluate_cli.main()
+  with open(os.path.join(out_dir, "metrics.json")) as f:
+    metrics = json.load(f)["aggregate"]
+  assert metrics["num_songs"] == 1
+  assert np.isfinite(metrics["mel_l2"])
+
+
 def test_gt_raw_differs_from_gt_encoded():
   """The two metric-ceiling sources must take distinct paths (reference
   beam/evaluation.py:211-240): gt_raw's predicted AUDIO is the raw
