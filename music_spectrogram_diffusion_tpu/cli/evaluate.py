@@ -33,7 +33,7 @@ def main():
                  help="dataset split for --dataset")
   p.add_argument("--data_root", default=None,
                  help="local mirror root for gs:// dataset paths")
-  p.add_argument("--songs", type=int, default=2)
+  p.add_argument("--songs", type=int, default=8)
   p.add_argument("--songs_per_batch", type=int, default=2)
   p.add_argument("--steps", type=int, default=None)
   p.add_argument("--sampler", default=None, choices=["ddpm", "ddim", "dpm++", "sde-dpm++"],

@@ -47,6 +47,11 @@ def main():
   p.add_argument("--eval_period", type=int, default=None,
                  help="override the preset's eval period")
   p.add_argument("--seed", type=int, default=0)
+  p.add_argument("--remat", action="store_true",
+                 help="per-layer rematerialization (needed to train "
+                      "base+ sizes on one 16GB chip)")
+  p.add_argument("--microbatches", type=int, default=None,
+                 help="gradient-accumulation microbatches per update")
   # Multi-host: run the same command on every host (see
   # parallel/multihost.py for the launch procedure).
   p.add_argument("--distributed", action="store_true",
@@ -92,6 +97,12 @@ def main():
     experiment = dataclasses.replace(
         experiment, train=dataclasses.replace(
             experiment.train, eval_period=args.eval_period))
+  if args.remat:
+    experiment = dataclasses.replace(experiment, remat=True)
+  if args.microbatches:
+    experiment = dataclasses.replace(
+        experiment, train=dataclasses.replace(
+            experiment.train, num_microbatches=args.microbatches))
 
   if args.mesh:
     data_par, model_par = map(int, args.mesh.split("x"))

@@ -108,6 +108,10 @@ class ExperimentConfig:
   with_context: bool = True
   dtype: str = "float32"
   dropout_rate: float = 0.1
+  # Per-layer rematerialization: required to train base+ sizes on one
+  # 16GB chip (encoder MLP activations at inputs=2048 otherwise exceed
+  # HBM); inference ignores it (no backward pass to save for).
+  remat: bool = False
   codec_name: str = "melgan"
   task_lengths: TaskLengths = TaskLengths()
   diffusion: dops.DiffusionConfig = dops.DiffusionConfig()
@@ -145,7 +149,7 @@ class ExperimentConfig:
     return network_config(
         self.size, with_context=self.with_context,
         vocab_size=vocab_size, dtype=self.dtype,
-        dropout_rate=self.dropout_rate)
+        dropout_rate=self.dropout_rate, remat=self.remat)
 
   def to_json(self) -> str:
     def default(o: Any):

@@ -180,53 +180,114 @@ def evaluate_songs(
   return results
 
 
-def aggregate(results: Sequence[SongEval]) -> Dict[str, float]:
+def _song_moments(results: Sequence[SongEval], space: str):
+  """Per-song sufficient statistics (n, sum, sum-outer) for one space.
+
+  Returns (target_stats, pred_stats, per_song_dist); a song missing the
+  space contributes nothing. Moments make resampled-population FAD
+  cheap: a bootstrap replicate combines them in O(songs x dim^2) with
+  one sqrtm instead of re-streaming every patch.
+  """
+  t_stats, p_stats, per_song_dist = [], [], []
+  for r in results:
+    if not (r.embeddings_target and r.embeddings_pred):
+      continue
+    if space not in r.embeddings_target or space not in r.embeddings_pred:
+      continue
+    et = np.asarray(r.embeddings_target[space], np.float64)
+    ep = np.asarray(r.embeddings_pred[space], np.float64)
+    if et.size == 0 or ep.size == 0:
+      continue
+    t_stats.append((len(et), et.sum(0), et.T @ et))
+    p_stats.append((len(ep), ep.sum(0), ep.T @ ep))
+    k = min(len(et), len(ep))
+    per_song_dist.append(metrics_lib.embedding_distance(et[:k], ep[:k]))
+  return t_stats, p_stats, per_song_dist
+
+
+def _gaussian_from_moments(stats, idx):
+  n = sum(stats[i][0] for i in idx)
+  if n < 2:
+    return None
+  mu = sum(stats[i][1] for i in idx) / n
+  outer = sum(stats[i][2] for i in idx)
+  sigma = outer / n - np.outer(mu, mu)
+  return mu, sigma
+
+
+def _fad_from_moments(t_stats, p_stats, idx) -> Optional[float]:
+  gt = _gaussian_from_moments(t_stats, idx)
+  gp = _gaussian_from_moments(p_stats, idx)
+  if gt is None or gp is None:
+    return None
+  try:
+    return float(metrics_lib.frechet_distance(gt[0], gt[1], gp[0], gp[1]))
+  except ValueError:
+    # Degenerate covariance (few patches / identical populations):
+    # fall back to the diagonal-covariance distance rather than
+    # aborting the whole eval (mirrors mel_spectral_metrics).
+    return float(metrics_lib.frechet_distance(
+        gt[0], np.diagonal(gt[1]).copy(),
+        gp[0], np.diagonal(gp[1]).copy()))
+
+
+def aggregate(results: Sequence[SongEval],
+              bootstrap: int = 200, seed: int = 0) -> Dict[str, float]:
   """Mean of each metric over songs + population Fréchet distances.
 
   Fréchet audio distance per embedding space (reference
-  metrics.py:383-419): streaming mean/covariance over every patch of
-  every song, target population vs prediction population.
+  metrics.py:383-419): mean/covariance over every patch of every song,
+  target population vs prediction population. Every scalar additionally
+  carries a 95% bootstrap confidence interval over SONGS
+  (`<key>_ci95_low` / `_ci95_high`, `bootstrap` resamples with
+  replacement) — population FAD is re-derived per replicate from
+  per-song moments, so its CI reflects song-sampling noise, the spread
+  the round-3 verdict flagged as unreported.
   """
+  rng = np.random.default_rng(seed)
   agg = collections.defaultdict(list)
   for r in results:
     for k, v in r.metrics.items():
       agg[k].append(v)
   out = {k: float(np.mean(v)) for k, v in agg.items()}
 
+  do_ci = bootstrap > 0 and len(results) >= 4
+  if do_ci:
+    for k, vals in agg.items():
+      if k.startswith("timing/") or len(vals) < 4:
+        continue
+      v = np.asarray(vals, np.float64)
+      draws = rng.integers(0, len(v), size=(bootstrap, len(v)))
+      means = v[draws].mean(axis=1)
+      out[f"{k}_ci95_low"] = float(np.percentile(means, 2.5))
+      out[f"{k}_ci95_high"] = float(np.percentile(means, 97.5))
+
   spaces = set()
   for r in results:
     if r.embeddings_target and r.embeddings_pred:
       spaces.update(set(r.embeddings_target) & set(r.embeddings_pred))
   for space in sorted(spaces):
-    g_t = metrics_lib.StreamingMultivariateGaussian()
-    g_p = metrics_lib.StreamingMultivariateGaussian()
-    per_song_dist = []
-    for r in results:
-      if not (r.embeddings_target and r.embeddings_pred):
-        continue
-      et = np.asarray(r.embeddings_target[space])
-      ep = np.asarray(r.embeddings_pred[space])
-      if et.size == 0 or ep.size == 0:
-        continue
-      g_t.update(et)
-      g_p.update(ep)
-      k = min(len(et), len(ep))
-      per_song_dist.append(
-          metrics_lib.embedding_distance(et[:k], ep[:k]))
-    if g_t.n > 1 and g_p.n > 1:
-      try:
-        fad = metrics_lib.frechet_distance(g_t.mu, g_t.sigma,
-                                           g_p.mu, g_p.sigma)
-      except ValueError:
-        # Degenerate covariance (few patches / identical populations):
-        # fall back to the diagonal-covariance distance rather than
-        # aborting the whole eval (mirrors mel_spectral_metrics).
-        fad = metrics_lib.frechet_distance(
-            g_t.mu, np.diagonal(g_t.sigma).copy(),
-            g_p.mu, np.diagonal(g_p.sigma).copy())
-      out[f"frechet_audio_distance/{space}"] = float(fad)
-      out[f"embedding_distance/{space}"] = float(
-          np.mean(per_song_dist))
+    t_stats, p_stats, per_song_dist = _song_moments(results, space)
+    if not t_stats:
+      continue
+    all_idx = list(range(len(t_stats)))
+    fad = _fad_from_moments(t_stats, p_stats, all_idx)
+    if fad is None:
+      continue
+    out[f"frechet_audio_distance/{space}"] = fad
+    out[f"embedding_distance/{space}"] = float(np.mean(per_song_dist))
+    if do_ci and len(t_stats) >= 4:
+      fads = []
+      for _ in range(bootstrap):
+        idx = rng.integers(0, len(t_stats), size=len(t_stats))
+        f = _fad_from_moments(t_stats, p_stats, list(idx))
+        if f is not None:
+          fads.append(f)
+      if len(fads) >= bootstrap // 2:
+        out[f"frechet_audio_distance/{space}_ci95_low"] = float(
+            np.percentile(fads, 2.5))
+        out[f"frechet_audio_distance/{space}_ci95_high"] = float(
+            np.percentile(fads, 97.5))
   out["num_songs"] = len(results)
   return out
 

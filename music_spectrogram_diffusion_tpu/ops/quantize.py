@@ -26,6 +26,7 @@ trained round-3 teacher in BENCH.md (quantized vs bf16 eval protocol).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -140,6 +141,13 @@ def _qmm_dispatch(x: Array, q: Array, scale: Array, out_dtype,
   """Pick Pallas vs XLA for the (possibly per-shard local) shapes."""
   tileable = (_pick_block(q.shape[0]) is not None
               and _pick_block(q.shape[1], (256, 128)) is not None)
+  if use_pallas and not tileable:
+    # Needed for per-shard fallback on meshes that split below the tile
+    # size, but a forced-kernel benchmark must not silently measure XLA.
+    warnings.warn(
+        f"quantized_matmul: use_pallas=True but local shape "
+        f"{q.shape} is untileable (K/N must be multiples of 128); "
+        f"falling back to the XLA path.", stacklevel=2)
   if use_pallas is None:
     use_pallas = tileable and (interpret or jax.default_backend() == "tpu")
   use_pallas = use_pallas and tileable
@@ -198,12 +206,21 @@ def _qmm_partitioned(out_dtype_name: str, use_pallas: Optional[bool],
     if k_ax is None and len(xspec) > 1:
       k_ax = xspec[1]
 
+    def axis_names(ax):
+      return (() if ax is None else
+              (ax,) if isinstance(ax, str) else
+              tuple(a for a in ax if a))
+
+    # A K axis that shares a mesh axis with M or N would build a
+    # duplicate PartitionSpec (e.g. x P('data','model') against
+    # q P(None,'model') -> P('model','model')); replicate K instead.
+    taken = set(axis_names(m_ax)) | set(axis_names(n_ax))
+    if k_ax is not None and taken & set(axis_names(k_ax)):
+      k_ax = None
+
     def nshards(ax):
-      names = (() if ax is None else
-               (ax,) if isinstance(ax, str) else
-               tuple(a for a in ax if a))
       count = 1
-      for nm in names:
+      for nm in axis_names(ax):
         count *= mesh.shape[nm]
       return count
 
@@ -222,14 +239,34 @@ def _qmm_partitioned(out_dtype_name: str, use_pallas: Optional[bool],
     out_sharding = NamedSharding(mesh, PartitionSpec(m_ax, n_ax))
 
     def lower_fn(x, q, scale):
-      out = impl(x, q, scale)
       if k_ax is not None:
-        out = jax.lax.psum(out, k_ax)
-      return out
+        # Each shard holds a partial product; accumulate the cross-shard
+        # sum in f32 (a bf16 psum would halve the reduction precision).
+        part = _qmm_dispatch(x, q, scale, np.dtype(np.float32),
+                             use_pallas, interpret)
+        return jax.lax.psum(part, k_ax).astype(out_dtype)
+      return impl(x, q, scale)
 
     return mesh, lower_fn, out_sharding, arg_shardings
 
-  f.def_partition(partition=partition, sharding_rule="m k, k n, n -> m n")
+  def infer_sharding(mesh, arg_shapes, result_shape):
+    # GSPMD (jax_use_shardy_partitioner=False) ignores sharding_rule and
+    # needs explicit output-sharding inference: out is [M, N] with M from
+    # x's rows and N from q's columns.
+    del result_shape
+    xs, qs, _ = arg_shapes
+
+    def spec_of(s):
+      return getattr(s.sharding, "spec", None) or PartitionSpec()
+
+    xspec, qspec = spec_of(xs), spec_of(qs)
+    m_ax = xspec[0] if len(xspec) > 0 else None
+    n_ax = qspec[1] if len(qspec) > 1 else None
+    return NamedSharding(mesh, PartitionSpec(m_ax, n_ax))
+
+  f.def_partition(partition=partition,
+                  infer_sharding_from_operands=infer_sharding,
+                  sharding_rule="m k, k n, n -> m n")
   return f
 
 

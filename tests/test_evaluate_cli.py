@@ -187,3 +187,40 @@ def test_gt_raw_differs_from_gt_encoded():
   agg_raw = evaluation.aggregate(r_raw)
   assert agg_raw[key] < 1e-6
   assert agg_enc[key] > 1e-3
+
+
+def test_aggregate_bootstrap_ci():
+  """95% bootstrap CIs over songs: brackets the point estimate, and the
+  moments-based population FAD matches a direct two-population compute."""
+  from music_spectrogram_diffusion_tpu.infer import evaluation
+  from music_spectrogram_diffusion_tpu.train import metrics as metrics_lib
+
+  r = np.random.RandomState(0)
+  results = []
+  for i in range(8):
+    et = r.randn(30, 16) * 1.0
+    ep = r.randn(30, 16) * 1.2 + 0.3
+    results.append(evaluation.SongEval(
+        song_id=f"s{i}", metrics={"mel_l2": float(1.0 + 0.1 * i)},
+        embeddings_target={"mel": et}, embeddings_pred={"mel": ep}))
+  agg = evaluation.aggregate(results, bootstrap=100, seed=0)
+
+  key = "frechet_audio_distance/mel"
+  # Point estimate == direct full-population Fréchet.
+  all_t = np.concatenate([np.asarray(x.embeddings_target["mel"])
+                          for x in results])
+  all_p = np.concatenate([np.asarray(x.embeddings_pred["mel"])
+                          for x in results])
+  direct = metrics_lib.frechet_distance(
+      all_t.mean(0), np.cov(all_t.T, bias=True),
+      all_p.mean(0), np.cov(all_p.T, bias=True))
+  np.testing.assert_allclose(agg[key], direct, rtol=1e-6)
+
+  for k in ("mel_l2", key):
+    lo, hi = agg[f"{k}_ci95_low"], agg[f"{k}_ci95_high"]
+    assert lo <= agg[k] <= hi
+    assert hi > lo  # non-degenerate interval
+
+  # Few songs -> CIs are suppressed, point estimates stay.
+  agg2 = evaluation.aggregate(results[:2], bootstrap=100)
+  assert key in agg2 and f"{key}_ci95_low" not in agg2

@@ -188,6 +188,37 @@ def test_partitioned_matmul_sharded(use_pallas):
   np.testing.assert_allclose(np.asarray(out_k), ref, rtol=3e-2, atol=3e-1)
 
 
+def test_partitioned_matmul_colliding_k_axis():
+  """x K-sharded on the SAME mesh axis that shards q's N must not build
+  a duplicate PartitionSpec('model','model') (ADVICE round-3 medium)."""
+  from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib
+
+  mesh = mesh_lib.make_mesh(data=4, model=2)
+  r = np.random.RandomState(1)
+  x = jnp.asarray(r.randn(8, 256).astype(np.float32))
+  w = jnp.asarray(r.randn(256, 512).astype(np.float32))
+  q, s = qops.quantize_kernel(w)
+  ref = np.asarray(qops.quantized_matmul(x, q, s, partitioned=False,
+                                         use_pallas=False))
+  fn = jax.jit(lambda a, b, c: qops.quantized_matmul(a, b, c,
+                                                     use_pallas=False))
+  out = fn(_put(x, mesh, "data", "model"), _put(q, mesh, None, "model"),
+           _put(s, mesh, "model"))
+  np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-2, atol=3e-1)
+
+
+def test_forced_pallas_untileable_warns():
+  x = jnp.ones((4, 96))
+  w = jnp.ones((96, 96))
+  q, s = qops.quantize_kernel(w)
+  with pytest.warns(UserWarning, match="untileable"):
+    out = qops.quantized_matmul(x, q, s, use_pallas=True, interpret=True,
+                                partitioned=False)
+  np.testing.assert_allclose(np.asarray(out),
+                             np.asarray(x @ qops.dequantize_kernel(q, s)),
+                             rtol=1e-5)
+
+
 def test_quantized_predict_sharded_matches_unsharded(quantized_model):
   """Full int8 predict on a {data:4, model:2} mesh == single-device."""
   from music_spectrogram_diffusion_tpu.parallel import mesh as mesh_lib

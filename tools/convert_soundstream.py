@@ -84,6 +84,11 @@ def map_weights(raw_path: str, out_path: str,
   raw = dict(np.load(raw_path).items())
   target = _target_tree(base_channels)
 
+  # Same-shape candidates are consumed in VARIABLE ORDER: TF declaration
+  # order matches the Flax tree's layer order for a trunk built
+  # block-by-block, so repeated residual-conv shapes resolve positionally
+  # (each raw variable is used exactly once). The audit log prints every
+  # order-based match so a scrambled re-export is visible.
   by_shape = {}
   for name, arr in raw.items():
     by_shape.setdefault(tuple(arr.shape), []).append(name)
@@ -92,19 +97,29 @@ def map_weights(raw_path: str, out_path: str,
   for path, shape in target.items():
     candidates = by_shape.get(shape, [])
     # ConvTranspose kernels may need [w, out, in] -> [w, in, out].
-    t_candidates = (by_shape.get((shape[0], shape[2], shape[1]), [])
-                    if len(shape) == 3 else [])
-    if len(candidates) == 1:
-      mapped[path] = raw[candidates[0]]
-    elif not candidates and len(t_candidates) == 1:
-      mapped[path] = np.transpose(raw[t_candidates[0]], (0, 2, 1))
-      print(f"transposed {t_candidates[0]} -> {path}")
+    t_shape = (shape[0], shape[2], shape[1]) if len(shape) == 3 else None
+    t_candidates = (by_shape.get(t_shape, [])
+                    if t_shape and t_shape != shape else [])
+    if candidates:
+      name = candidates.pop(0)
+      mapped[path] = raw[name]
+      if candidates:
+        print(f"order-matched {name} -> {path} "
+              f"({len(candidates)} same-shape remain)")
+    elif t_candidates:
+      name = t_candidates.pop(0)
+      mapped[path] = np.transpose(raw[name], (0, 2, 1))
+      print(f"transposed {name} -> {path}")
     else:
-      unmatched.append((path, shape, candidates + t_candidates))
+      unmatched.append((path, shape))
 
-  for path, shape, candidates in unmatched:
-    print(f"AMBIGUOUS/MISSING {path} {shape}: candidates {candidates}",
+  leftovers = [n for names in by_shape.values() for n in names]
+  for path, shape in unmatched:
+    print(f"MISSING {path} {shape}: no unconsumed raw variable matches",
           file=sys.stderr)
+  if leftovers:
+    print(f"unconsumed raw variables (not in the target tree): "
+          f"{leftovers}", file=sys.stderr)
   if unmatched:
     print(f"{len(unmatched)} parameters need manual mapping — extend "
           "this script's name table against the dump listing.",

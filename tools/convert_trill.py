@@ -67,17 +67,28 @@ def convert(saved_model_path: str) -> dict:
   import tensorflow as tf
 
   model = tf.saved_model.load(saved_model_path)
+  return convert_variables(
+      [(v.name, v.numpy()) for v in model.variables])
+
+
+def convert_variables(named_vars) -> dict:
+  """TF-free mapping core over [(tf_var_name, np.ndarray), ...].
+
+  Split from `convert` so the scope-grouping / BN-folding / order-based
+  trunk mapping is unit-testable against fabricated variable sets
+  (tests/test_converters.py) without TensorFlow.
+  """
   # Group variables by their scope prefix (everything before the last
   # '/'); each conv scope carries kernel (+BN) variables.
   groups = {}
   order = []
-  for v in model.variables:
-    scope, leaf = v.name.rsplit("/", 1)
+  for name, value in named_vars:
+    scope, leaf = name.rsplit("/", 1)
     leaf = leaf.split(":")[0]
     if scope not in groups:
       groups[scope] = {}
       order.append(scope)
-    groups[scope][leaf] = v.numpy()
+    groups[scope][leaf] = np.asarray(value)
 
   conv_scopes = [s for s in order if any(
       k in groups[s] for k in ("kernel", "weights"))]

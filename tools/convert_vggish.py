@@ -47,26 +47,38 @@ _NAME_MAP = {
 _LEAF_MAP = {"weights": "kernel", "biases": "bias"}
 
 
-def convert_from_ckpt(ckpt_path: str) -> dict:
-  import tensorflow as tf  # noqa: F401 - requires a TF environment
-  reader = tf.train.load_checkpoint(ckpt_path)
+def remap_variables(lookup) -> dict:
+  """TF-free mapping core: `lookup(tf_name) -> np.ndarray`.
+
+  Shared by the ckpt and SavedModel paths and unit-tested against
+  fabricated variable sets (tests/test_converters.py), so the name
+  table cannot rot while the real weights stay unfetchable here.
+  """
   out = {}
   for tf_scope, layer in _NAME_MAP.items():
     for tf_leaf, leaf in _LEAF_MAP.items():
-      out[f"{layer}/{leaf}"] = np.asarray(
-          reader.get_tensor(f"{tf_scope}/{tf_leaf}"))
+      out[f"{layer}/{leaf}"] = np.asarray(lookup(f"{tf_scope}/{tf_leaf}"))
   return out
+
+
+def check_geometry(weights: dict) -> None:
+  """Shape sanity for the published VGGish (audioset) geometry."""
+  assert weights["conv1/kernel"].shape == (3, 3, 1, 64)
+  assert weights["fc1_1/kernel"].shape == (12288, 4096)
+  assert weights["fc2/kernel"].shape[-1] == 128
+
+
+def convert_from_ckpt(ckpt_path: str) -> dict:
+  import tensorflow as tf  # noqa: F401 - requires a TF environment
+  reader = tf.train.load_checkpoint(ckpt_path)
+  return remap_variables(reader.get_tensor)
 
 
 def convert_from_saved_model(path: str) -> dict:
   import tensorflow as tf
   model = tf.saved_model.load(path)
   by_name = {v.name.split(":")[0]: v for v in model.variables}
-  out = {}
-  for tf_scope, layer in _NAME_MAP.items():
-    for tf_leaf, leaf in _LEAF_MAP.items():
-      out[f"{layer}/{leaf}"] = by_name[f"{tf_scope}/{tf_leaf}"].numpy()
-  return out
+  return remap_variables(lambda name: by_name[name].numpy())
 
 
 def main():
@@ -79,10 +91,7 @@ def main():
     p.error("pass exactly one of --ckpt / --saved_model")
   weights = (convert_from_ckpt(args.ckpt) if args.ckpt
              else convert_from_saved_model(args.saved_model))
-  # Sanity-check the expected geometry before writing.
-  assert weights["conv1/kernel"].shape == (3, 3, 1, 64)
-  assert weights["fc1_1/kernel"].shape == (12288, 4096)
-  assert weights["fc2/kernel"].shape[-1] == 128
+  check_geometry(weights)  # shape sanity before writing
   np.savez(args.out, **weights)
   print(f"wrote {len(weights)} arrays to {args.out}")
 
