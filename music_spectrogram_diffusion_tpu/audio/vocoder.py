@@ -15,6 +15,7 @@ chain (denoise -> vocode) stays on the TPU:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Sequence, Tuple
 
@@ -143,7 +144,46 @@ class MagnitudeNet(nn.Module):
     return base * correction
 
 
-class HybridGLVocoder:
+class _StagedGriffinLim:
+  """Shared staging for the Griffin-Lim vocoders: jitted magnitude
+  prediction -> host PGHI phase init -> jitted GL refinement.
+
+  The phase heap integration is inherently sequential host code and the
+  axon TPU attachment rejects host callbacks inside jit
+  (jax.pure_callback is UNIMPLEMENTED there), so the vocoder manages its
+  own jit boundaries instead of being wrapped in one jit by callers —
+  the vocoder callables advertise `self_jitting = True` and
+  `Synthesizer` / `as_codec_decoder` call them directly.
+  """
+  self_jitting = True
+
+  def _init_gl(self, stft_params, num_iters, phase_init):
+    self._params = stft_params
+    self._num_iters = num_iters
+    self._phase_init = phase_init
+    self._gl = jax.jit(functools.partial(
+        stft_ops.griffin_lim, num_iters=num_iters, **stft_params))
+
+  def _gl_with_init(self, magnitude: Array, rng) -> Array:
+    if self._phase_init == "pghi":
+      init = stft_ops.pghi_phase(
+          np.asarray(jax.device_get(magnitude), np.float32),
+          **self._params)
+      return self._gl(magnitude, init_phase=jnp.asarray(init))
+    return self._gl(magnitude, rng=rng)
+
+  def as_codec_decoder(self):
+    """(params, features) -> audio adapter for AudioCodec.set_vocoder.
+
+    NOT jit-wrapped: the callable stages its own jits around the host
+    phase-init step.
+    """
+    fn = lambda params, feats: self(feats)  # noqa: E731
+    fn.self_jitting = True
+    return fn, None
+
+
+class HybridGLVocoder(_StagedGriffinLim):
   """Trained magnitude (MagnitudeNet) + Griffin-Lim phase recovery.
 
   Same call contract as GriffinLimVocoder; `num_iters` trades phase
@@ -153,11 +193,11 @@ class HybridGLVocoder:
 
   def __init__(self, params, *, n_fft: int = 1024, hop_length: int = 320,
                win_length: int = 640, hidden: int = 512,
-               num_iters: int = 32, mel_consistency: bool = True):
+               num_iters: int = 32, mel_consistency: bool = True,
+               phase_init: str = "pghi"):
     self.hop_length = hop_length
-    self._params = dict(frame_length=win_length, frame_step=hop_length,
-                        fft_length=n_fft)
-    self._num_iters = num_iters
+    self._init_gl(dict(frame_length=win_length, frame_step=hop_length,
+                       fft_length=n_fft), num_iters, phase_init)
     self.net = MagnitudeNet(hidden=hidden, out_bins=n_fft // 2 + 1)
     self.params = params
     self._mel_consistency = mel_consistency
@@ -186,14 +226,8 @@ class HybridGLVocoder:
     return magnitude
 
   def __call__(self, log_mel: Array, rng=None) -> Array:
-    magnitude = self._apply(self.params, log_mel)
-    return stft_ops.griffin_lim(
-        magnitude, num_iters=self._num_iters, rng=rng, **self._params)
-
-  def as_codec_decoder(self):
-    """(params, features) -> audio adapter for AudioCodec.set_vocoder."""
-    fn = jax.jit(lambda params, feats: self(feats))
-    return fn, None
+    magnitude = self._apply(self.params, jnp.asarray(log_mel))
+    return self._gl_with_init(magnitude, rng)
 
 
 def load_soundstream(npz_path: str,
@@ -220,6 +254,8 @@ def load_soundstream(npz_path: str,
     del rng
     return apply_fn({"params": params}, log_mel)
 
+  vocode.self_jitting = True  # apply_fn is already jitted
+
   def as_codec_decoder():
     """(apply_fn, params) pair for AudioCodec.set_vocoder — the same
     shape GriffinLimVocoder.as_codec_decoder returns, so either plugs
@@ -232,7 +268,7 @@ def load_soundstream(npz_path: str,
 
 
 def load_trained(model_dir: str, base_channels: int = 512,
-                 num_iters: int = 32):
+                 num_iters: int = 32, phase_init: str = "pghi"):
   """Trained vocoder checkpoint (cli/train_vocoder.py) -> a jitted
   `[B, T, mel] log-mel -> [B, T*hop] audio` callable.
 
@@ -265,7 +301,7 @@ def load_trained(model_dir: str, base_channels: int = 512,
 
   if cfg.get("arch") == "magnitude_gl":
     return HybridGLVocoder(params, hidden=cfg.get("hidden", 512),
-                           num_iters=num_iters)
+                           num_iters=num_iters, phase_init=phase_init)
 
   decoder = SoundStreamDecoder(
       config=SoundStreamConfig(
@@ -276,6 +312,8 @@ def load_trained(model_dir: str, base_channels: int = 512,
     del rng
     return apply_fn(params, log_mel)
 
+  vocode.self_jitting = True  # apply_fn is already jitted
+
   def as_codec_decoder():
     """(apply_fn, params) adapter for AudioCodec.set_vocoder (same shape
     as GriffinLimVocoder.as_codec_decoder; weights closed over)."""
@@ -285,32 +323,26 @@ def load_trained(model_dir: str, base_channels: int = 512,
   return vocode
 
 
-class GriffinLimVocoder:
+class GriffinLimVocoder(_StagedGriffinLim):
   """Weights-free mel inversion: pinv filterbank + Griffin-Lim phase."""
 
   def __init__(self, *, sample_rate: int = 16000, n_fft: int = 1024,
                hop_length: int = 320, win_length: int = 640,
                n_mel_channels: int = 128, mel_fmin: float = 0.0,
-               num_iters: int = 32):
+               num_iters: int = 32, phase_init: str = "pghi"):
     self.hop_length = hop_length
-    self._params = dict(frame_length=win_length, frame_step=hop_length,
-                        fft_length=n_fft)
-    self._num_iters = num_iters
-    self._mel_basis = stft_ops.linear_to_mel_matrix(
+    self._init_gl(dict(frame_length=win_length, frame_step=hop_length,
+                       fft_length=n_fft), num_iters, phase_init)
+    mel_basis = stft_ops.linear_to_mel_matrix(
         num_mel_bins=n_mel_channels,
         num_spectrogram_bins=n_fft // 2 + 1,
         sample_rate=sample_rate,
         lower_edge_hertz=mel_fmin,
         upper_edge_hertz=sample_rate // 2)
+    self._mag_fn = jax.jit(lambda log_mel: stft_ops.mel_to_linear(
+        jnp.exp(log_mel), mel_basis))
 
   def __call__(self, log_mel: Array, rng=None) -> Array:
     """[B, T, mel] log-mel -> [B, T * hop] audio."""
-    mel = jnp.exp(log_mel)  # undo the log-amplitude encode
-    magnitude = stft_ops.mel_to_linear(mel, self._mel_basis)
-    return stft_ops.griffin_lim(
-        magnitude, num_iters=self._num_iters, rng=rng, **self._params)
-
-  def as_codec_decoder(self):
-    """(params, features) -> audio adapter for AudioCodec.set_vocoder."""
-    fn = jax.jit(lambda params, feats: self(feats))
-    return fn, None
+    magnitude = self._mag_fn(jnp.asarray(log_mel))
+    return self._gl_with_init(magnitude, rng)

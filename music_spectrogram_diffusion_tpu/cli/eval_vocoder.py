@@ -41,6 +41,11 @@ def main():
                  help="held-out generator seed (training used its own "
                       "--seed stream; keep them disjoint)")
   p.add_argument("--griffin_lim_iters", type=int, default=32)
+  p.add_argument("--phase_init", default="pghi", choices=["pghi", "zero"],
+                 help="Griffin-Lim phase initializer (pghi = phase "
+                      "gradient heap integration; zero = round-3 "
+                      "behavior). With pghi, the zero-init baseline is "
+                      "also scored as griffin_lim_zero for the A/B.")
   p.add_argument("--batch", type=int, default=4)
   p.add_argument("--output", default=None, help="write metrics JSON here")
   p.add_argument("--wav_dir", default=None,
@@ -100,11 +105,14 @@ def main():
   scored = jax.jit(vocoder_train.stft_loss)
 
   vocoders = {"griffin_lim": vocoder.GriffinLimVocoder(
-      num_iters=args.griffin_lim_iters)}
+      num_iters=args.griffin_lim_iters, phase_init=args.phase_init)}
+  if args.phase_init == "pghi":
+    vocoders["griffin_lim_zero"] = vocoder.GriffinLimVocoder(
+        num_iters=args.griffin_lim_iters, phase_init="zero")
   if args.checkpoint:
     vocoders["trained"] = vocoder.load_trained(
         args.checkpoint, base_channels=args.base_channels,
-        num_iters=args.griffin_lim_iters)
+        num_iters=args.griffin_lim_iters, phase_init=args.phase_init)
 
   report = {"clips": len(clips), "clip_seconds": args.clip_seconds,
             "seed": args.seed, "methods": {}}

@@ -72,6 +72,12 @@ def main():
                       "the transcriber so rendered audio is scored with "
                       "note-onset F1 (reference TranscribeAudio stage); "
                       "implies --vocode")
+  p.add_argument("--transcriber_checkpoint", default=None,
+                 help="in-repo-trained transcriber model_dir "
+                      "(cli/train_transcriber.py); same role as "
+                      "--mt3_checkpoint for self-trained weights")
+  p.add_argument("--transcriber_decode", default="greedy",
+                 choices=["greedy", "beam"])
   # Work sharding across independent processes/hosts (the Beam
   # pipeline's shard parallelism): each process takes every
   # num_shards-th song.
@@ -202,6 +208,12 @@ def main():
     from music_spectrogram_diffusion_tpu.infer import mt3
     mt3.register(args.mt3_checkpoint)
     print("MT3 transcriber enabled (note-onset F1 on rendered audio)")
+    args.vocode = True
+  elif args.transcriber_checkpoint:
+    from music_spectrogram_diffusion_tpu.infer import mt3, transcription
+    transcription.register_transcriber(mt3.load_trained_transcriber(
+        args.transcriber_checkpoint, decode_mode=args.transcriber_decode))
+    print("in-repo transcriber enabled (note-onset F1 on rendered audio)")
     args.vocode = True
   from music_spectrogram_diffusion_tpu.infer import postprocessors
   audio_embedders = set(postprocessors.EMBEDDING_MODELS) - {"mel"}

@@ -1,0 +1,180 @@
+"""Train a small in-repo MT3 transcriber (audio -> note events).
+
+  python -m music_spectrogram_diffusion_tpu.cli.train_transcriber \
+      --model_dir /tmp/transcriber --synthetic_examples 256 \
+      --steps 2000 --batch 32
+
+The reference's third metric family scores synthesis by transcribing
+rendered audio with MT3 and computing note-onset F1 (reference
+metrics.py:422-446, transcription_inference.py). The published MT3
+checkpoint is unfetchable here, so this trains a compact MT3Transformer
+(infer/mt3.py) on the synthetic task's (audio, NoteSequence) pairs —
+the same event-token pipeline as the published model (tokenize ->
+segment at 2.048 s -> tie-section prefix -> run-length encoded shifts),
+just a smaller trunk and single-instrument data. Register the result at
+evaluation with `cli.evaluate --transcriber_checkpoint MODEL_DIR` to
+light up the F1 columns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+
+def main():
+  p = argparse.ArgumentParser(description=__doc__)
+  p.add_argument("--model_dir", required=True)
+  p.add_argument("--steps", type=int, default=2000)
+  p.add_argument("--batch", type=int, default=32)
+  p.add_argument("--synthetic_examples", type=int, default=256,
+                 help="number of synthetic songs (each yields several "
+                      "2.048 s segments)")
+  p.add_argument("--song_seconds", type=float, default=8.0)
+  p.add_argument("--max_tokens", type=int, default=512)
+  p.add_argument("--seed", type=int, default=0)
+  p.add_argument("--learning_rate", type=float, default=1e-3)
+  p.add_argument("--warmup_steps", type=int, default=200)
+  p.add_argument("--emb_dim", type=int, default=256)
+  p.add_argument("--num_layers", type=int, default=4)
+  p.add_argument("--num_heads", type=int, default=4)
+  p.add_argument("--mlp_dim", type=int, default=512)
+  p.add_argument("--checkpoint_period", type=int, default=500)
+  p.add_argument("--log_period", type=int, default=100)
+  p.add_argument("--eval_fraction", type=float, default=0.1,
+                 help="held-out fraction of segments for eval loss/acc")
+  args = p.parse_args()
+
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  import optax
+
+  from music_spectrogram_diffusion_tpu.data import preprocessors, synthetic
+  from music_spectrogram_diffusion_tpu.infer import mt3
+  from music_spectrogram_diffusion_tpu.midi import vocabularies
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  vocab_config = vocabularies.VocabularyConfig(num_velocity_bins=1)
+  codec = vocabularies.build_codec(vocab_config)
+  vocab = vocabularies.vocabulary_from_codec(codec)
+  vocab_size = vocabularies.num_embeddings(vocab)
+
+  # ---- data: synthetic songs -> MT3-geometry segments -------------------
+  # The MT3 frontend frames at hop 128 / 125 fps (mt3/spectrograms.py);
+  # tokenize_example only needs hop/frame_rate from its codec argument.
+  class _MT3Framing:
+    hop_size = mt3.HOP_WIDTH
+    frame_rate = mt3.FRAMES_PER_SECOND
+    sample_rate = mt3.SAMPLE_RATE
+
+  rng = np.random.RandomState(args.seed)
+  specs, tokens_list = [], []
+  skipped = 0
+  for _ in range(args.synthetic_examples):
+    ns = synthetic.random_note_sequence(rng, duration=args.song_seconds)
+    audio = synthetic.render_note_sequence(
+        ns, mt3.SAMPLE_RATE, duration=args.song_seconds)
+    ex = preprocessors.tokenize_example(
+        ns=ns, samples=audio, audio_codec=_MT3Framing(), codec=codec,
+        onsets_only=False, include_ties=True)
+    ex = preprocessors.rekey_transcription_to_synthesis(ex)
+    for chunk in preprocessors.split_cached_frames(ex, mt3.INPUT_FRAMES):
+      # Event tokens for this segment: tie-section prefix + RLE shifts
+      # (the exact stream MT3Transcriber's decode inverts).
+      chunk = preprocessors.note_representation_chain(
+          chunk, codec, include_ties=True, feature_key="inputs")
+      toks = vocab.encode(np.asarray(chunk["inputs"], np.int32))
+      toks = np.concatenate([toks, [vocab.eos_id]]).astype(np.int32)
+      if len(toks) > args.max_tokens:
+        skipped += 1
+        continue
+      seg_audio = preprocessors.flatten_frames(
+          np.asarray(chunk["targets"]))
+      spec = mt3.spectrogram(seg_audio)[:mt3.INPUT_FRAMES]
+      spec = np.pad(spec, ((0, mt3.INPUT_FRAMES - len(spec)), (0, 0)))
+      specs.append(spec.astype(np.float32))
+      tokens_list.append(np.pad(toks, (0, args.max_tokens - len(toks))))
+  specs = np.stack(specs)
+  targets = np.stack(tokens_list)
+  n_eval = max(1, int(len(specs) * args.eval_fraction))
+  eval_specs, eval_targets = specs[:n_eval], targets[:n_eval]
+  specs, targets = specs[n_eval:], targets[n_eval:]
+  print(f"segments: {len(specs)} train / {n_eval} eval "
+        f"({skipped} skipped over --max_tokens), "
+        f"mean tokens {float((targets > 0).sum(1).mean()):.1f}")
+
+  # ---- model + train state ----------------------------------------------
+  config = mt3.MT3Config(
+      vocab_size=vocab_size, emb_dim=args.emb_dim,
+      num_heads=args.num_heads, head_dim=64,
+      num_encoder_layers=args.num_layers,
+      num_decoder_layers=args.num_layers, mlp_dim=args.mlp_dim)
+  module = mt3.MT3Transformer(config=config)
+
+  def shift_right(t):
+    return jnp.pad(t, ((0, 0), (1, 0)))[:, :-1]
+
+  def loss_fn(params, spec_b, tgt_b):
+    mask = jnp.ones(spec_b.shape[:2], bool)
+    logits = module.apply({"params": params}, spec_b, mask,
+                          shift_right(tgt_b), tgt_b)
+    weights = (tgt_b > 0).astype(jnp.float32)
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, tgt_b)
+    loss = jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1.0)
+    acc = jnp.sum((jnp.argmax(logits, -1) == tgt_b) * weights) / (
+        jnp.maximum(jnp.sum(weights), 1.0))
+    return loss, acc
+
+  warmup = min(args.warmup_steps, max(args.steps // 2, 1))
+  lr = optax.warmup_cosine_decay_schedule(
+      0.0, args.learning_rate, warmup, args.steps)
+  tx = optax.adamw(lr, weight_decay=1e-4)
+
+  params = module.init(
+      jax.random.PRNGKey(args.seed),
+      jnp.asarray(specs[:1]), jnp.ones((1, mt3.INPUT_FRAMES), bool),
+      jnp.asarray(targets[:1]), jnp.asarray(targets[:1]))["params"]
+  n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+  print(f"transcriber params: {n_params / 1e6:.1f}M")
+  opt_state = tx.init(params)
+
+  @jax.jit
+  def train_step(params, opt_state, spec_b, tgt_b):
+    (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, spec_b, tgt_b)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss, acc
+
+  eval_step = jax.jit(loss_fn)
+
+  sidecar = json.dumps({
+      "kind": "mt3_transcriber",
+      "arch": {"emb_dim": args.emb_dim, "num_heads": args.num_heads,
+               "num_encoder_layers": args.num_layers,
+               "num_decoder_layers": args.num_layers,
+               "mlp_dim": args.mlp_dim, "head_dim": 64},
+      "vocab": dataclasses.asdict(vocab_config),
+      "max_tokens": args.max_tokens,
+  })
+
+  data_rng = np.random.RandomState(args.seed + 1)
+  for step in range(1, args.steps + 1):
+    idx = data_rng.randint(0, len(specs), args.batch)
+    params, opt_state, loss, acc = train_step(
+        params, opt_state, jnp.asarray(specs[idx]),
+        jnp.asarray(targets[idx]))
+    if step % args.log_period == 0 or step == args.steps:
+      ev_loss, ev_acc = eval_step(params, jnp.asarray(eval_specs),
+                                  jnp.asarray(eval_targets))
+      print(f"[step {step}] loss={float(loss):.4f} acc={float(acc):.3f} "
+            f"eval_loss={float(ev_loss):.4f} eval_acc={float(ev_acc):.3f}")
+    if step % args.checkpoint_period == 0 or step == args.steps:
+      path = checkpoints.save_checkpoint(args.model_dir, step, params,
+                                         config_json=sidecar)
+      print(f"saved checkpoint: {path}")
+
+
+if __name__ == "__main__":
+  main()

@@ -200,16 +200,19 @@ def _encode_field(field: int, wire: int, payload: bytes) -> bytes:
 
 
 def serialize_example(features: Mapping[str, object]) -> bytes:
-  """Serialize {name: bytes | float array | int array} to a
-  tf.train.Example wire-format message."""
+  """Serialize {name: bytes | [bytes] | float array | int array} to a
+  tf.train.Example wire-format message (lists of bytes/str become
+  repeated BytesList values — the multitrack schemas' sequence lists)."""
   entries = b""
   for name, value in features.items():
-    if isinstance(value, bytes):
-      inner = _encode_field(1, 2, _encode_varint(len(value)) + value)
-      feature = _encode_field(1, 2, _encode_varint(len(inner)) + inner)
-    elif isinstance(value, str):
-      raw = value.encode("utf-8")
-      inner = _encode_field(1, 2, _encode_varint(len(raw)) + raw)
+    if isinstance(value, (bytes, str)) or (
+        isinstance(value, (list, tuple)) and value
+        and all(isinstance(v, (bytes, str)) for v in value)):
+      values = [value] if isinstance(value, (bytes, str)) else list(value)
+      inner = b"".join(
+          _encode_field(1, 2, _encode_varint(len(raw)) + raw)
+          for raw in (v.encode("utf-8") if isinstance(v, str) else v
+                      for v in values))
       feature = _encode_field(1, 2, _encode_varint(len(inner)) + inner)
     else:
       arr = np.asarray(value)

@@ -378,15 +378,19 @@ class MT3Transcriber:
                max_tokens: int = MAX_OUTPUT_TOKENS,
                decode_mode: str = "beam",
                beam_size: int = 4,
-               alpha: float = 0.6):
+               alpha: float = 0.6,
+               config: Optional[MT3Config] = None):
     """decode_mode: 'beam' (t5x beam search, the reference's decode —
-    transcription_inference.py:151-155) or 'greedy' (cheaper)."""
+    transcription_inference.py:151-155) or 'greedy' (cheaper).
+    `config` overrides the default T5.1.1-small geometry (e.g. the
+    compact in-repo-trained transcriber, cli/train_transcriber.py)."""
     self.vocab_config = vocab_config or vocabularies.VocabularyConfig(
         num_velocity_bins=1)
     self.codec = vocabularies.build_codec(self.vocab_config)
     self.vocabulary = vocabularies.vocabulary_from_codec(self.codec)
     vocab_size = vocabularies.num_embeddings(self.vocabulary)
-    self.module = MT3Transformer(config=MT3Config(vocab_size=vocab_size))
+    self.module = MT3Transformer(
+        config=config or MT3Config(vocab_size=vocab_size))
     self.params = params
     self.max_tokens = max_tokens
     if decode_mode == "beam":
@@ -482,6 +486,44 @@ def load_mt3_checkpoint(path: str):
   """
   from music_spectrogram_diffusion_tpu.train import checkpoints
   return remap_mt3_params(checkpoints.load_t5x_checkpoint(path))
+
+
+def load_trained_transcriber(model_dir: str,
+                             decode_mode: str = "greedy",
+                             beam_size: int = 4,
+                             max_tokens: Optional[int] = None
+                             ) -> "MT3Transcriber":
+  """Load an in-repo-trained transcriber (cli/train_transcriber.py).
+
+  `model_dir` is a step_<N> dir or a training model_dir (latest step);
+  the config.json sidecar carries the compact architecture and vocab.
+  """
+  import json as json_lib
+  import os
+
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  path = model_dir
+  if not os.path.basename(os.path.normpath(path)).startswith("step_"):
+    latest = checkpoints.latest_checkpoint(model_dir)
+    if latest is None:
+      raise FileNotFoundError(f"no step_<N> checkpoint under {model_dir}")
+    path = latest
+  with open(os.path.join(path, "config.json")) as f:
+    cfg = json_lib.load(f)
+  if cfg.get("kind") != "mt3_transcriber":
+    raise ValueError(f"{path} is not a transcriber checkpoint "
+                     f"(kind={cfg.get('kind')!r})")
+  vocab_config = vocabularies.VocabularyConfig(**cfg["vocab"])
+  vocabulary = vocabularies.vocabulary_from_codec(
+      vocabularies.build_codec(vocab_config))
+  config = MT3Config(vocab_size=vocabularies.num_embeddings(vocabulary),
+                     **cfg["arch"])
+  params = checkpoints.restore_checkpoint(path)["params"]
+  return MT3Transcriber(
+      params, vocab_config=vocab_config,
+      max_tokens=max_tokens or cfg.get("max_tokens", MAX_OUTPUT_TOKENS),
+      decode_mode=decode_mode, beam_size=beam_size, config=config)
 
 
 def register(checkpoint_path: Optional[str] = None,

