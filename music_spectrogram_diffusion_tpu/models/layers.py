@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import operator
+import os
 from typing import Any, Callable, Iterable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -193,8 +194,12 @@ class MlpBlock(nn.Module):
 # Measured on one v5e chip (base model, 200-step sampler): below this
 # XLA's batched einsums win (batch 1: 18.8x vs 14.6x realtime); above it
 # score spills make XLA HBM-bound and the kernel wins (CFG batch 8
-# cross-attention: 17.4x vs 12.1x aggregate).
-FLASH_MIN_SCORE_BYTES = 64 * 1024 * 1024
+# cross-attention: 17.4x vs 12.1x aggregate). A per-platform constant —
+# override with $MSD_FLASH_MIN_SCORE_BYTES when re-tuning on another
+# TPU generation (re-measure with bench.py --fused_attention/
+# --no-fused_attention across batch sizes).
+FLASH_MIN_SCORE_BYTES = int(os.environ.get(
+    "MSD_FLASH_MIN_SCORE_BYTES", 64 * 1024 * 1024))
 
 
 def dot_product_attention(query: Array,

@@ -18,6 +18,7 @@ re-designed for TPU:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -95,8 +96,12 @@ MULTISTEP_SAMPLERS = ("dpm++", "sde-dpm++")
 # guidance interval is applied as a zero-overhead gated mix inside one
 # scan; at or above it, compute dominates and the interval's out-of-window
 # steps run a genuine single conditional forward (scan split). Measured
-# crossover on v5e: batch 2-4 (BENCH.md round 3).
-CHEAP_BRANCH_MIN_BATCH = 4
+# crossover on v5e: batch 2-4 (BENCH.md round 3). A platform constant,
+# not a law — override with $MSD_CHEAP_BRANCH_MIN_BATCH when re-tuning
+# on another TPU generation (re-measure with bench.py
+# --guidance_interval across batch sizes).
+CHEAP_BRANCH_MIN_BATCH = int(os.environ.get(
+    "MSD_CHEAP_BRANCH_MIN_BATCH", 4))
 
 
 @dataclasses.dataclass(frozen=True)
