@@ -21,7 +21,8 @@ import collections
 import dataclasses
 import json
 import os
-from typing import Any, Callable, Dict, List, Mapping, Optional, Sequence
+from typing import (Any, Callable, Dict, List, Mapping, Optional,
+                    Sequence, Tuple)
 
 import numpy as np
 
@@ -294,7 +295,13 @@ def aggregate(results: Sequence[SongEval],
 
 def write_outputs(results: Sequence[SongEval], output_dir: str,
                   sample_rate: int = 16000) -> None:
-  """Serialize per-song artifacts + aggregated metrics JSON."""
+  """Serialize per-song artifacts + aggregated metrics JSON.
+
+  Also writes `fad_moments.npz` — per-song sufficient statistics for
+  every embedding space — so sharded eval runs (`cli/evaluate.py
+  --num_shards`, the Beam worker-sharding analog) can be combined into
+  ONE population FAD + CI by `cli/merge_eval.py` without re-rendering.
+  """
   from music_spectrogram_diffusion_tpu.audio import wav_io
   os.makedirs(output_dir, exist_ok=True)
   for r in results:
@@ -307,8 +314,97 @@ def write_outputs(results: Sequence[SongEval], output_dir: str,
     if r.audio_pred is not None:
       wav_io.write_wav(os.path.join(output_dir, f"{safe}_pred.wav"),
                        r.audio_pred, sample_rate)
+  moments = {}
+  for i, r in enumerate(results):
+    if not (r.embeddings_target and r.embeddings_pred):
+      continue
+    for space in set(r.embeddings_target) & set(r.embeddings_pred):
+      t_stats, p_stats, dists = _song_moments([r], space)
+      if not t_stats:
+        continue
+      key = f"{i}|{space}"
+      moments[f"{key}|t_n"] = np.asarray(t_stats[0][0])
+      moments[f"{key}|t_sum"] = t_stats[0][1]
+      moments[f"{key}|t_outer"] = t_stats[0][2]
+      moments[f"{key}|p_n"] = np.asarray(p_stats[0][0])
+      moments[f"{key}|p_sum"] = p_stats[0][1]
+      moments[f"{key}|p_outer"] = p_stats[0][2]
+      moments[f"{key}|dist"] = np.asarray(dists[0])
+  if moments:
+    np.savez(os.path.join(output_dir, "fad_moments.npz"), **moments)
   with open(os.path.join(output_dir, "metrics.json"), "w") as f:
     json.dump({
         "aggregate": aggregate(results),
         "per_song": {r.song_id: r.metrics for r in results},
     }, f, indent=2)
+
+
+def merge_shard_outputs(shard_dirs: Sequence[str],
+                        bootstrap: int = 200,
+                        seed: int = 0) -> Dict[str, Any]:
+  """Combine per-shard eval outputs into one aggregate report.
+
+  The reference's Beam pipeline shards songs over workers and COMBINES
+  their metrics into one table (beam/evaluation.py CombineFn stage);
+  here each `cli/evaluate.py --num_shards N --shard i` run writes
+  metrics.json + fad_moments.npz and this merges them: per-song metric
+  means with bootstrap CIs over the UNION of songs, and population FAD
+  re-derived from the summed per-song moments (exact — moments are
+  additive), also with a bootstrap CI.
+  """
+  rng = np.random.default_rng(seed)
+  per_song: Dict[str, Dict[str, float]] = {}
+  stats_by_space: Dict[str, Tuple[list, list, list]] = {}
+  for d in shard_dirs:
+    with open(os.path.join(d, "metrics.json")) as f:
+      per_song.update(json.load(f)["per_song"])
+    path = os.path.join(d, "fad_moments.npz")
+    if os.path.exists(path):
+      raw = np.load(path)
+      songs = sorted({tuple(k.split("|")[:2]) for k in raw.files})
+      for idx, space in songs:
+        t_stats, p_stats, dists = stats_by_space.setdefault(
+            space, ([], [], []))
+        key = f"{idx}|{space}"
+        t_stats.append((int(raw[f"{key}|t_n"]), raw[f"{key}|t_sum"],
+                        raw[f"{key}|t_outer"]))
+        p_stats.append((int(raw[f"{key}|p_n"]), raw[f"{key}|p_sum"],
+                        raw[f"{key}|p_outer"]))
+        dists.append(float(raw[f"{key}|dist"]))
+
+  agg = collections.defaultdict(list)
+  for metrics in per_song.values():
+    for k, v in metrics.items():
+      agg[k].append(v)
+  out: Dict[str, Any] = {k: float(np.mean(v)) for k, v in agg.items()}
+  do_ci = bootstrap > 0
+  for k, vals in list(agg.items()):
+    if k.startswith("timing/") or len(vals) < 4 or not do_ci:
+      continue
+    v = np.asarray(vals, np.float64)
+    draws = rng.integers(0, len(v), size=(bootstrap, len(v)))
+    means = v[draws].mean(axis=1)
+    out[f"{k}_ci95_low"] = float(np.percentile(means, 2.5))
+    out[f"{k}_ci95_high"] = float(np.percentile(means, 97.5))
+
+  for space, (t_stats, p_stats, dists) in sorted(stats_by_space.items()):
+    fad = _fad_from_moments(t_stats, p_stats, list(range(len(t_stats))))
+    if fad is None:
+      continue
+    out[f"frechet_audio_distance/{space}"] = fad
+    out[f"embedding_distance/{space}"] = float(np.mean(dists))
+    if do_ci and len(t_stats) >= 4:
+      fads = []
+      for _ in range(bootstrap):
+        idx = list(rng.integers(0, len(t_stats), size=len(t_stats)))
+        f2 = _fad_from_moments(t_stats, p_stats, idx)
+        if f2 is not None:
+          fads.append(f2)
+      if len(fads) >= bootstrap // 2:
+        out[f"frechet_audio_distance/{space}_ci95_low"] = float(
+            np.percentile(fads, 2.5))
+        out[f"frechet_audio_distance/{space}_ci95_high"] = float(
+            np.percentile(fads, 97.5))
+  out["num_songs"] = len(per_song)
+  return {"aggregate": out, "per_song": per_song,
+          "num_shards": len(shard_dirs)}

@@ -224,3 +224,49 @@ def test_aggregate_bootstrap_ci():
   # Few songs -> CIs are suppressed, point estimates stay.
   agg2 = evaluation.aggregate(results[:2], bootstrap=100)
   assert key in agg2 and f"{key}_ci95_low" not in agg2
+
+
+def test_sharded_eval_merge(tmp_path):
+  """Two-shard eval + merge_eval == the Beam shard/combine semantics.
+
+  The merged population FAD must EXACTLY equal the FAD of a single
+  unsharded run over the same songs (moments are additive), and the
+  per-song metric means must match too.
+  """
+  from music_spectrogram_diffusion_tpu.infer import evaluation
+
+  r = np.random.RandomState(3)
+
+  def song(i):
+    et = r.randn(20, 8) * 1.0
+    ep = r.randn(20, 8) * 1.3 + 0.2
+    return evaluation.SongEval(
+        song_id=f"song{i}", metrics={"mel_l2": float(i)},
+        embeddings_target={"mel": et}, embeddings_pred={"mel": ep})
+
+  songs = [song(i) for i in range(8)]
+  d0, d1 = str(tmp_path / "s0"), str(tmp_path / "s1")
+  evaluation.write_outputs(songs[0::2], d0)
+  evaluation.write_outputs(songs[1::2], d1)
+
+  import sys
+
+  from music_spectrogram_diffusion_tpu.cli import merge_eval
+  out_path = str(tmp_path / "merged.json")
+  old_argv = sys.argv
+  sys.argv = ["merge_eval", "--shards", d0, d1, "--output", out_path]
+  try:
+    merge_eval.main()
+  finally:
+    sys.argv = old_argv
+  merged = json.load(open(out_path))["aggregate"]
+
+  full = evaluation.aggregate(songs)
+  key = "frechet_audio_distance/mel"
+  np.testing.assert_allclose(merged[key], full[key], rtol=1e-9)
+  np.testing.assert_allclose(merged["embedding_distance/mel"],
+                             full["embedding_distance/mel"], rtol=1e-9)
+  np.testing.assert_allclose(merged["mel_l2"], full["mel_l2"])
+  assert merged["num_songs"] == 8
+  assert merged[f"{key}_ci95_low"] <= merged[key] <= (
+      merged[f"{key}_ci95_high"])
