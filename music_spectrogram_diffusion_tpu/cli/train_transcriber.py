@@ -44,6 +44,18 @@ def main():
   p.add_argument("--log_period", type=int, default=100)
   p.add_argument("--eval_fraction", type=float, default=0.1,
                  help="held-out fraction of segments for eval loss/acc")
+  p.add_argument("--input_noise", type=float, default=0.5,
+                 help="stddev of Gaussian noise added to the log-mel "
+                      "inputs per train step (device-side augmentation; "
+                      "the fixed synthetic set memorizes without it)")
+  p.add_argument("--program_granularity", default="flat",
+                 choices=["flat", "midi_class", "full"],
+                 help="program mapping for the training targets. The "
+                      "synthetic render is timbre-less (pure sines), so "
+                      "full program identity is unlearnable noise; "
+                      "'flat' (the ismir2021 style) keeps the headline "
+                      "flat-F1 metric exact while making every target "
+                      "token predictable from audio")
   args = p.parse_args()
 
   import jax
@@ -84,7 +96,8 @@ def main():
       # Event tokens for this segment: tie-section prefix + RLE shifts
       # (the exact stream MT3Transcriber's decode inverts).
       chunk = preprocessors.note_representation_chain(
-          chunk, codec, include_ties=True, feature_key="inputs")
+          chunk, codec, include_ties=True,
+          granularity_type=args.program_granularity, feature_key="inputs")
       toks = vocab.encode(np.asarray(chunk["inputs"], np.int32))
       toks = np.concatenate([toks, [vocab.eos_id]]).astype(np.int32)
       if len(toks) > args.max_tokens:
@@ -141,7 +154,9 @@ def main():
   opt_state = tx.init(params)
 
   @jax.jit
-  def train_step(params, opt_state, spec_b, tgt_b):
+  def train_step(params, opt_state, spec_b, tgt_b, rng):
+    spec_b = spec_b + args.input_noise * jax.random.normal(
+        rng, spec_b.shape, spec_b.dtype)
     (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         params, spec_b, tgt_b)
     updates, opt_state = tx.update(grads, opt_state, params)
@@ -160,11 +175,12 @@ def main():
   })
 
   data_rng = np.random.RandomState(args.seed + 1)
+  noise_rng = jax.random.PRNGKey(args.seed + 2)
   for step in range(1, args.steps + 1):
     idx = data_rng.randint(0, len(specs), args.batch)
     params, opt_state, loss, acc = train_step(
         params, opt_state, jnp.asarray(specs[idx]),
-        jnp.asarray(targets[idx]))
+        jnp.asarray(targets[idx]), jax.random.fold_in(noise_rng, step))
     if step % args.log_period == 0 or step == args.steps:
       ev_loss, ev_acc = eval_step(params, jnp.asarray(eval_specs),
                                   jnp.asarray(eval_targets))
