@@ -56,17 +56,31 @@ INPUT_FRAMES = 256  # 2.048 s segments (mt3 gin inputs length)
 MAX_OUTPUT_TOKENS = 1024
 
 
-def spectrogram(audio: np.ndarray) -> np.ndarray:
-  """[n_samples] -> [ceil(n/hop), 512] log-mel (mt3 frontend)."""
-  mag = np.asarray(stft_ops.stft_magnitude(
-      jnp.asarray(np.asarray(audio, np.float32))[None],
-      frame_length=FFT_SIZE, frame_step=HOP_WIDTH, fft_length=FFT_SIZE,
-      pad_end=True))[0]
-  mel_mat = stft_ops.linear_to_mel_matrix(
+@functools.lru_cache(maxsize=1)
+def _mel_matrix() -> np.ndarray:
+  return stft_ops.linear_to_mel_matrix(
       num_mel_bins=NUM_MEL_BINS, num_spectrogram_bins=FFT_SIZE // 2 + 1,
       sample_rate=SAMPLE_RATE, lower_edge_hertz=MEL_LO_HZ,
       upper_edge_hertz=SAMPLE_RATE / 2.0)
-  return np.log(mag @ mel_mat + SPEC_LOG_EPS).astype(np.float32)
+
+
+def spectrogram(audio: np.ndarray) -> np.ndarray:
+  """[n_samples] -> [ceil(n/hop), 512] log-mel (mt3 frontend).
+
+  Pure numpy (same pad_end/window semantics as stft_ops.stft_magnitude):
+  this is host-side data prep — dispatching it to the accelerator would
+  serialize training/inference behind per-clip transfers.
+  """
+  audio = np.asarray(audio, np.float32)
+  n = len(audio)
+  n_frames = -(-n // HOP_WIDTH)  # ceil (pad_end=True framing)
+  pad = max(0, (n_frames - 1) * HOP_WIDTH + FFT_SIZE - n)
+  audio = np.pad(audio, (0, pad))
+  idx = (np.arange(FFT_SIZE)[None, :]
+         + HOP_WIDTH * np.arange(n_frames)[:, None])
+  frames = audio[idx] * stft_ops.hann_window(FFT_SIZE)
+  mag = np.abs(np.fft.rfft(frames, n=FFT_SIZE, axis=-1))
+  return np.log(mag @ _mel_matrix() + SPEC_LOG_EPS).astype(np.float32)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -238,3 +238,22 @@ def test_train_transcriber_cli_and_loader(tmp_path, monkeypatch):
   assert ns_out.total_time >= 0.0
   for n in ns_out.notes:
     assert 0 <= n.pitch < 128
+
+
+def test_spectrogram_numpy_matches_jax_stft():
+  """The numpy MT3 frontend must equal stft_ops.stft_magnitude + mel."""
+  from music_spectrogram_diffusion_tpu.ops import stft as stft_ops
+
+  audio = np.random.RandomState(0).randn(40000).astype(np.float32) * 0.1
+  got = mt3.spectrogram(audio)
+  mag = np.asarray(stft_ops.stft_magnitude(
+      jnp.asarray(audio)[None], frame_length=mt3.FFT_SIZE,
+      frame_step=mt3.HOP_WIDTH, fft_length=mt3.FFT_SIZE, pad_end=True))[0]
+  mel_mat = stft_ops.linear_to_mel_matrix(
+      num_mel_bins=mt3.NUM_MEL_BINS,
+      num_spectrogram_bins=mt3.FFT_SIZE // 2 + 1,
+      sample_rate=mt3.SAMPLE_RATE, lower_edge_hertz=mt3.MEL_LO_HZ,
+      upper_edge_hertz=mt3.SAMPLE_RATE / 2.0)
+  want = np.log(mag @ mel_mat + mt3.SPEC_LOG_EPS)
+  assert got.shape == want.shape
+  np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
