@@ -109,13 +109,35 @@ def main():
       meta = checkpoints.checkpoint_metadata(latest)
       start_step = int(meta.get("step", 0))
       if args.adversarial:
-        # Generator params only — the checkpoint may carry the recon
-        # trainer's opt_state (warm start from reconstruction
-        # pretraining), so restore as-stored rather than with a subset
-        # target (orbax rejects those); the discriminator and both opt
-        # states restart fresh.
-        restored = checkpoints.restore_checkpoint(latest)
-        state = state.replace(g_params=restored["params"])
+        # A matching sibling 'disc' checkpoint means this resumes an
+        # ADVERSARIAL run (e.g. the periodic-restart RSS-leak
+        # mitigation): restore generator, discriminator AND both
+        # optimizer states so restarts don't reset the GAN dynamics.
+        # A recon-only warm start has no disc dir: generator params
+        # only, discriminator and optimizers fresh.
+        disc_dir = os.path.join(args.model_dir, "disc")
+        disc_latest = checkpoints.latest_checkpoint(disc_dir)
+        if (disc_latest is not None and
+            int(checkpoints.checkpoint_metadata(disc_latest)
+                .get("step", -1)) == start_step):
+          restored = checkpoints.restore_checkpoint(
+              latest, {"params": state.g_params,
+                       "opt_state": state.g_opt_state})
+          d_restored = checkpoints.restore_checkpoint(
+              disc_latest, {"params": state.d_params,
+                            "opt_state": state.d_opt_state})
+          state = state.replace(
+              g_params=restored["params"],
+              g_opt_state=restored["opt_state"],
+              d_params=d_restored["params"],
+              d_opt_state=d_restored["opt_state"])
+          print(f"restored adversarial state from {disc_latest}")
+        else:
+          # The recon checkpoint may carry the recon trainer's
+          # opt_state, so restore as-stored rather than with a subset
+          # target (orbax rejects those).
+          restored = checkpoints.restore_checkpoint(latest)
+          state = state.replace(g_params=restored["params"])
       else:
         target = {"params": state.params}
         if meta.get("has_opt_state"):
@@ -185,11 +207,18 @@ def main():
       print(" ".join(f"{k}={v:.5g}" for k, v in payload.items()))
     if step % args.checkpoint_period == 0 or step == args.steps:
       params = (state.g_params if args.adversarial else state.params)
-      opt_state = None if args.adversarial else state.opt_state
+      opt_state = (state.g_opt_state if args.adversarial
+                   else state.opt_state)
       path = checkpoints.save_checkpoint(args.model_dir, step, params,
                                          opt_state=opt_state,
                                          config_json=json.dumps(
                                              arch_config))
+      if args.adversarial:
+        # Full GAN state: the discriminator (+ its optimizer) in a
+        # sibling dir, so restarts resume the adversarial game intact.
+        checkpoints.save_checkpoint(
+            os.path.join(args.model_dir, "disc"), step,
+            state.d_params, opt_state=state.d_opt_state)
       print(f"saved {path}")
 
 

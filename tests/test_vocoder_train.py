@@ -304,3 +304,52 @@ def test_eval_vocoder_cli(tmp_path, monkeypatch, capsys):
   assert set(report["trained_vs_griffin_lim"]) == {
       "spectral_convergence", "log_magnitude", "mel_roundtrip_l2",
       "snr_db"}
+
+
+def test_train_vocoder_cli_adversarial_resume(tmp_path, monkeypatch,
+                                              capsys):
+  """Adversarial restarts resume the FULL GAN state (generator,
+  discriminator, both optimizers) via the sibling 'disc' checkpoint —
+  the periodic-restart RSS mitigation must not reset the adversarial
+  game. A recon warm start (no disc dir) still loads generator-only."""
+  import sys
+
+  import numpy as np
+
+  from music_spectrogram_diffusion_tpu.cli import train_vocoder
+  from music_spectrogram_diffusion_tpu.train import checkpoints
+
+  model_dir = str(tmp_path / "gan")
+  base = ["train_vocoder", "--model_dir", model_dir, "--synthetic",
+          "--batch", "1", "--segment_frames", "8",
+          "--base_channels", "16", "--log_period", "1",
+          "--checkpoint_period", "2"]
+  # Recon warmup.
+  monkeypatch.setattr(sys, "argv", base + ["--steps", "2"])
+  train_vocoder.main()
+  # Adversarial leg 1: warm-starts generator from the recon checkpoint.
+  monkeypatch.setattr(
+      sys, "argv", base + ["--steps", "4", "--adversarial", "--resume",
+                           "--waveform_weight", "0"])
+  train_vocoder.main()
+  out = capsys.readouterr().out
+  assert "resumed from" in out
+  assert "restored adversarial state" not in out  # recon warm start
+  disc = checkpoints.latest_checkpoint(str(tmp_path / "gan" / "disc"))
+  assert disc is not None and disc.endswith("step_4")
+  d4 = checkpoints.restore_checkpoint(disc)["params"]
+
+  # Adversarial leg 2 (the restart): full GAN state restored.
+  monkeypatch.setattr(
+      sys, "argv", base + ["--steps", "6", "--adversarial", "--resume",
+                           "--waveform_weight", "0"])
+  train_vocoder.main()
+  out = capsys.readouterr().out
+  assert "restored adversarial state" in out
+  disc6 = checkpoints.latest_checkpoint(str(tmp_path / "gan" / "disc"))
+  assert disc6.endswith("step_6")
+  d6 = checkpoints.restore_checkpoint(disc6)["params"]
+  # The discriminator actually continued training (leaves changed).
+  leaves4 = jax.tree_util.tree_leaves(d4)
+  leaves6 = jax.tree_util.tree_leaves(d6)
+  assert any(not np.allclose(a, b) for a, b in zip(leaves4, leaves6))
