@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 
 
 def main():
@@ -56,6 +57,14 @@ def main():
                       "'flat' (the ismir2021 style) keeps the headline "
                       "flat-F1 metric exact while making every target "
                       "token predictable from audio")
+  p.add_argument("--data_cache", default=None,
+                 help=".npz path: reuse tokenized segments if it exists, "
+                      "else write it after generation. Generation is "
+                      "host-side numpy; caching lets it run on CPU "
+                      "(JAX_PLATFORMS=cpu --gen_only) while the chip is "
+                      "busy, then training starts instantly")
+  p.add_argument("--gen_only", action="store_true",
+                 help="generate + cache the dataset, skip training")
   args = p.parse_args()
 
   import jax
@@ -81,41 +90,52 @@ def main():
     frame_rate = mt3.FRAMES_PER_SECOND
     sample_rate = mt3.SAMPLE_RATE
 
-  rng = np.random.RandomState(args.seed)
-  specs, tokens_list = [], []
-  skipped = 0
-  for _ in range(args.synthetic_examples):
-    ns = synthetic.random_note_sequence(rng, duration=args.song_seconds)
-    audio = synthetic.render_note_sequence(
-        ns, mt3.SAMPLE_RATE, duration=args.song_seconds)
-    ex = preprocessors.tokenize_example(
-        ns=ns, samples=audio, audio_codec=_MT3Framing(), codec=codec,
-        onsets_only=False, include_ties=True)
-    ex = preprocessors.rekey_transcription_to_synthesis(ex)
-    for chunk in preprocessors.split_cached_frames(ex, mt3.INPUT_FRAMES):
-      # Event tokens for this segment: tie-section prefix + RLE shifts
-      # (the exact stream MT3Transcriber's decode inverts).
-      chunk = preprocessors.note_representation_chain(
-          chunk, codec, include_ties=True,
-          granularity_type=args.program_granularity, feature_key="inputs")
-      toks = vocab.encode(np.asarray(chunk["inputs"], np.int32))
-      toks = np.concatenate([toks, [vocab.eos_id]]).astype(np.int32)
-      if len(toks) > args.max_tokens:
-        skipped += 1
-        continue
-      seg_audio = preprocessors.flatten_frames(
-          np.asarray(chunk["targets"]))
-      spec = mt3.spectrogram(seg_audio)[:mt3.INPUT_FRAMES]
-      spec = np.pad(spec, ((0, mt3.INPUT_FRAMES - len(spec)), (0, 0)))
-      specs.append(spec.astype(np.float32))
-      tokens_list.append(np.pad(toks, (0, args.max_tokens - len(toks))))
-  specs = np.stack(specs)
-  targets = np.stack(tokens_list)
+  if args.data_cache and os.path.exists(args.data_cache):
+    cached = np.load(args.data_cache)
+    specs, targets = cached["specs"], cached["targets"]
+    print(f"loaded {len(specs)} segments from {args.data_cache}")
+  else:
+    rng = np.random.RandomState(args.seed)
+    specs, tokens_list = [], []
+    skipped = 0
+    for _ in range(args.synthetic_examples):
+      ns = synthetic.random_note_sequence(rng, duration=args.song_seconds)
+      audio = synthetic.render_note_sequence(
+          ns, mt3.SAMPLE_RATE, duration=args.song_seconds)
+      ex = preprocessors.tokenize_example(
+          ns=ns, samples=audio, audio_codec=_MT3Framing(), codec=codec,
+          onsets_only=False, include_ties=True)
+      ex = preprocessors.rekey_transcription_to_synthesis(ex)
+      for chunk in preprocessors.split_cached_frames(ex, mt3.INPUT_FRAMES):
+        # Event tokens for this segment: tie-section prefix + RLE shifts
+        # (the exact stream MT3Transcriber's decode inverts).
+        chunk = preprocessors.note_representation_chain(
+            chunk, codec, include_ties=True,
+            granularity_type=args.program_granularity, feature_key="inputs")
+        toks = vocab.encode(np.asarray(chunk["inputs"], np.int32))
+        toks = np.concatenate([toks, [vocab.eos_id]]).astype(np.int32)
+        if len(toks) > args.max_tokens:
+          skipped += 1
+          continue
+        seg_audio = preprocessors.flatten_frames(
+            np.asarray(chunk["targets"]))
+        spec = mt3.spectrogram(seg_audio)[:mt3.INPUT_FRAMES]
+        spec = np.pad(spec, ((0, mt3.INPUT_FRAMES - len(spec)), (0, 0)))
+        specs.append(spec.astype(np.float32))
+        tokens_list.append(np.pad(toks, (0, args.max_tokens - len(toks))))
+    specs = np.stack(specs)
+    targets = np.stack(tokens_list)
+    print(f"generated {len(specs)} segments "
+          f"({skipped} skipped over --max_tokens)")
+    if args.data_cache:
+      np.savez_compressed(args.data_cache, specs=specs, targets=targets)
+      print(f"cached dataset to {args.data_cache}")
+  if args.gen_only:
+    return
   n_eval = max(1, int(len(specs) * args.eval_fraction))
   eval_specs, eval_targets = specs[:n_eval], targets[:n_eval]
   specs, targets = specs[n_eval:], targets[n_eval:]
-  print(f"segments: {len(specs)} train / {n_eval} eval "
-        f"({skipped} skipped over --max_tokens), "
+  print(f"segments: {len(specs)} train / {n_eval} eval, "
         f"mean tokens {float((targets > 0).sum(1).mean()):.1f}")
 
   # ---- model + train state ----------------------------------------------
@@ -153,8 +173,19 @@ def main():
   print(f"transcriber params: {n_params / 1e6:.1f}M")
   opt_state = tx.init(params)
 
+  # Keep the whole dataset device-resident and gather batches on-device:
+  # per-step host->device transfer of a batch of 512x512 spectrograms
+  # (~33 MB) dominates wall time through the remote-chip tunnel. The
+  # arrays are explicit jit ARGUMENTS, not closure captures — a captured
+  # multi-GB array would be traced as an HLO constant and stall
+  # compilation (and poison the persistent compile cache).
+  specs_dev = jax.device_put(specs)
+  targets_dev = jax.device_put(targets)
+
   @jax.jit
-  def train_step(params, opt_state, spec_b, tgt_b, rng):
+  def train_step(params, opt_state, spec_all, tgt_all, idx, rng):
+    spec_b = jnp.take(spec_all, idx, axis=0)
+    tgt_b = jnp.take(tgt_all, idx, axis=0)
     spec_b = spec_b + args.input_noise * jax.random.normal(
         rng, spec_b.shape, spec_b.dtype)
     (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -163,6 +194,8 @@ def main():
     return optax.apply_updates(params, updates), opt_state, loss, acc
 
   eval_step = jax.jit(loss_fn)
+  eval_specs_dev = jax.device_put(eval_specs)
+  eval_targets_dev = jax.device_put(eval_targets)
 
   sidecar = json.dumps({
       "kind": "mt3_transcriber",
@@ -177,13 +210,13 @@ def main():
   data_rng = np.random.RandomState(args.seed + 1)
   noise_rng = jax.random.PRNGKey(args.seed + 2)
   for step in range(1, args.steps + 1):
-    idx = data_rng.randint(0, len(specs), args.batch)
+    idx = data_rng.randint(0, len(specs), args.batch).astype(np.int32)
     params, opt_state, loss, acc = train_step(
-        params, opt_state, jnp.asarray(specs[idx]),
-        jnp.asarray(targets[idx]), jax.random.fold_in(noise_rng, step))
+        params, opt_state, specs_dev, targets_dev, idx,
+        jax.random.fold_in(noise_rng, step))
     if step % args.log_period == 0 or step == args.steps:
-      ev_loss, ev_acc = eval_step(params, jnp.asarray(eval_specs),
-                                  jnp.asarray(eval_targets))
+      ev_loss, ev_acc = eval_step(params, eval_specs_dev,
+                                  eval_targets_dev)
       print(f"[step {step}] loss={float(loss):.4f} acc={float(acc):.3f} "
             f"eval_loss={float(ev_loss):.4f} eval_acc={float(ev_acc):.3f}")
     if step % args.checkpoint_period == 0 or step == args.steps:

@@ -34,16 +34,31 @@ for i in $(seq 1 40); do
 done
 [ "$(latest_step)" -ge "$TARGET" ] || { echo "training did not finish"; exit 1; }
 
+TRANSCRIBER=${TRANSCRIBER:-/tmp/transcriber}
+TR_FLAGS=()
+if ls "$TRANSCRIBER"/step_* >/dev/null 2>&1; then
+  # Light up note-onset F1 (VERDICT #3): the self-trained MT3
+  # transcriber scores every cell's rendered audio.
+  TR_FLAGS=(--transcriber_checkpoint "$TRANSCRIBER")
+fi
+
 run_eval() {  # tag seed [extra evaluate args...]
   tag=$1; seed=$2; shift 2
   if [ -f "$OUT/$tag/metrics.json" ]; then echo "=== skip $tag (done)"; return; fi
-  # --vocode renders audio (Griffin-Lim): population FAD computes
-  # embeddings from rendered audio.
+  # --vocode renders audio (Griffin-Lim w/ PGHI init): population FAD
+  # computes embeddings from rendered audio.
   timeout 2700 python -m music_spectrogram_diffusion_tpu.cli.evaluate \
     --checkpoint "$MODEL_DIR" --synthetic --seed "$seed" --songs "$SONGS" \
-    --songs_per_batch 4 --vocode --output_dir "$OUT/$tag" "$@"
+    --songs_per_batch 4 --vocode --output_dir "$OUT/$tag" \
+    "${TR_FLAGS[@]}" "$@"
   echo "=== done $tag ==="
 }
+
+# F1 reference points (cheap — no diffusion sampling): ground-truth
+# audio through the vocoder chain (gt_raw = transcriber ceiling) and
+# the encode->decode roundtrip (gt_encoded = codec-limited ceiling).
+run_eval "gt_raw"     1000 --prediction_source gt_raw
+run_eval "gt_encoded" 1000 --prediction_source gt_encoded
 
 for seed in 1000 2000; do
   sfx=""; [ "$seed" = 2000 ] && sfx="_seed2000"
