@@ -45,10 +45,24 @@ def main():
   p.add_argument("--log_period", type=int, default=100)
   p.add_argument("--eval_fraction", type=float, default=0.1,
                  help="held-out fraction of segments for eval loss/acc")
+  p.add_argument("--eval_segments", type=int, default=384,
+                 help="cap on held-out segments (the eval forward runs "
+                      "as ONE batch; attention scores are O(batch) HBM)")
   p.add_argument("--input_noise", type=float, default=0.5,
                  help="stddev of Gaussian noise added to the log-mel "
                       "inputs per train step (device-side augmentation; "
                       "the fixed synthetic set memorizes without it)")
+  p.add_argument("--time_masks", type=int, default=2,
+                 help="SpecAugment: number of random time masks per "
+                      "example (0 disables)")
+  p.add_argument("--time_mask_width", type=int, default=48)
+  p.add_argument("--freq_masks", type=int, default=2,
+                 help="SpecAugment: number of random mel-bin masks per "
+                      "example (0 disables)")
+  p.add_argument("--freq_mask_width", type=int, default=24)
+  p.add_argument("--gain_jitter", type=float, default=0.5,
+                 help="uniform +-X offset added to the whole log-mel "
+                      "(audio gain is additive in log space)")
   p.add_argument("--program_granularity", default="flat",
                  choices=["flat", "midi_class", "full"],
                  help="program mapping for the training targets. The "
@@ -128,11 +142,15 @@ def main():
     print(f"generated {len(specs)} segments "
           f"({skipped} skipped over --max_tokens)")
     if args.data_cache:
-      np.savez_compressed(args.data_cache, specs=specs, targets=targets)
+      # Uncompressed on purpose: zlib over tens of GB of log-mels
+      # monopolizes the (single) host core for many minutes — and that
+      # same core feeds any concurrent chip job.
+      np.savez(args.data_cache, specs=specs, targets=targets)
       print(f"cached dataset to {args.data_cache}")
   if args.gen_only:
     return
-  n_eval = max(1, int(len(specs) * args.eval_fraction))
+  n_eval = max(1, min(int(len(specs) * args.eval_fraction),
+                      args.eval_segments))
   eval_specs, eval_targets = specs[:n_eval], targets[:n_eval]
   specs, targets = specs[n_eval:], targets[n_eval:]
   print(f"segments: {len(specs)} train / {n_eval} eval, "
@@ -179,15 +197,57 @@ def main():
   # arrays are explicit jit ARGUMENTS, not closure captures — a captured
   # multi-GB array would be traced as an HLO constant and stall
   # compilation (and poison the persistent compile cache).
-  specs_dev = jax.device_put(specs)
+  # bf16 storage halves the resident footprint (a 4k-song set is
+  # ~15 GB in f32 — over one chip's HBM); batches cast back to f32
+  # after the gather. The cast happens on HOST (ml_dtypes) so only the
+  # bf16 bytes cross the tunnel and no f32 copy ever lands in HBM.
+  import ml_dtypes
+  specs_dev = jax.device_put(specs.astype(ml_dtypes.bfloat16))
   targets_dev = jax.device_put(targets)
+
+  def augment(rng, spec_b):
+    """Device-side SpecAugment (Park et al. 2019) + noise + gain.
+
+    The synthetic training set is small enough to memorize; masking
+    whole time spans / mel bands forces the decoder to read onsets from
+    context instead of template-matching fixed segments.
+    """
+    b, t, f = spec_b.shape
+    fill = jnp.mean(spec_b, axis=(1, 2), keepdims=True)
+
+    def apply_masks(rng, x, axis_len, n_masks, max_width, axis):
+      pos = jnp.arange(axis_len)
+      pos = pos[None, :, None] if axis == 1 else pos[None, None, :]
+      for i in range(n_masks):
+        r1, r2 = jax.random.split(jax.random.fold_in(rng, i))
+        width = jax.random.randint(r1, (b, 1, 1), 0, max_width + 1)
+        start = jax.random.randint(r2, (b, 1, 1), 0,
+                                   jnp.maximum(axis_len - max_width, 1))
+        hit = (pos >= start) & (pos < start + width)
+        x = jnp.where(hit, fill, x)
+      return x
+
+    r_noise, r_gain, r_t, r_f = jax.random.split(rng, 4)
+    if args.time_masks:
+      spec_b = apply_masks(r_t, spec_b, t, args.time_masks,
+                           args.time_mask_width, axis=1)
+    if args.freq_masks:
+      spec_b = apply_masks(r_f, spec_b, f, args.freq_masks,
+                           args.freq_mask_width, axis=2)
+    if args.gain_jitter:
+      spec_b = spec_b + jax.random.uniform(
+          r_gain, (b, 1, 1), minval=-args.gain_jitter,
+          maxval=args.gain_jitter)
+    if args.input_noise:
+      spec_b = spec_b + args.input_noise * jax.random.normal(
+          r_noise, spec_b.shape, spec_b.dtype)
+    return spec_b
 
   @jax.jit
   def train_step(params, opt_state, spec_all, tgt_all, idx, rng):
-    spec_b = jnp.take(spec_all, idx, axis=0)
+    spec_b = jnp.take(spec_all, idx, axis=0).astype(jnp.float32)
     tgt_b = jnp.take(tgt_all, idx, axis=0)
-    spec_b = spec_b + args.input_noise * jax.random.normal(
-        rng, spec_b.shape, spec_b.dtype)
+    spec_b = augment(rng, spec_b)
     (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         params, spec_b, tgt_b)
     updates, opt_state = tx.update(grads, opt_state, params)

@@ -69,8 +69,17 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
   steps = []
   for name in os.listdir(ckpt_dir):
     m = re.fullmatch(r"step_(\d+)", name)
-    if m:
-      steps.append(int(m.group(1)))
+    if not m:
+      continue
+    # A kill mid-save leaves step_<N>/ without the orbax payload
+    # ('state' is renamed into place when the async save commits;
+    # METADATA is written after that). Skip such partials so resume
+    # never crash-loops on an interrupted checkpoint.
+    path = os.path.join(ckpt_dir, name)
+    if not (os.path.exists(os.path.join(path, "state"))
+            or os.path.exists(os.path.join(path, "METADATA"))):
+      continue
+    steps.append(int(m.group(1)))
   if not steps:
     return None
   return os.path.join(ckpt_dir, f"step_{max(steps)}")

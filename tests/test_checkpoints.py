@@ -61,8 +61,22 @@ def test_latest_checkpoint(tmp_path):
   import os
   for step in [3, 10, 7]:
     os.makedirs(tmp_path / f"step_{step}")
+    (tmp_path / f"step_{step}" / "METADATA").write_text("{}")
   assert checkpoints.latest_checkpoint(str(tmp_path)).endswith("step_10")
   assert checkpoints.latest_checkpoint(str(tmp_path / "nope")) is None
+
+
+def test_latest_checkpoint_skips_partial_saves(tmp_path):
+  """A kill mid-save leaves step_<N>/ without the orbax payload; resume
+  must pick the newest COMMITTED checkpoint, not crash-loop on the
+  partial (hit for real on the round-4 teacher run)."""
+  import os
+  os.makedirs(tmp_path / "step_500" / "state")  # committed payload
+  os.makedirs(tmp_path / "step_1000")           # interrupted: no state
+  assert checkpoints.latest_checkpoint(str(tmp_path)).endswith("step_500")
+  # A directory holding only partials has no usable checkpoint at all.
+  os.rename(tmp_path / "step_500" / "state", tmp_path / "step_500" / "x")
+  assert checkpoints.latest_checkpoint(str(tmp_path)) is None
 
 
 def test_ar_preset_build():

@@ -19,7 +19,14 @@ export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=10
 mkdir -p "$JAX_COMPILATION_CACHE_DIR" "$OUT"
 
 latest_step() {
-  ls -d "$MODEL_DIR"/step_* 2>/dev/null | sed 's/.*step_//' | sort -n | tail -1
+  # Only count committed checkpoints (a kill mid-save leaves step_<N>/
+  # without the orbax 'state' payload; train/checkpoints.py skips those
+  # on resume too).
+  for d in "$MODEL_DIR"/step_*; do
+    if [ -e "$d/state" ] || [ -e "$d/METADATA" ]; then
+      echo "${d##*step_}"
+    fi
+  done 2>/dev/null | sort -n | tail -1
 }
 
 for i in $(seq 1 40); do
