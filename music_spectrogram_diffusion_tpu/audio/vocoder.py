@@ -157,12 +157,13 @@ class _StagedGriffinLim:
   """
   self_jitting = True
 
-  def _init_gl(self, stft_params, num_iters, phase_init):
+  def _init_gl(self, stft_params, num_iters, phase_init, momentum=0.0):
     self._params = stft_params
     self._num_iters = num_iters
     self._phase_init = phase_init
     self._gl = jax.jit(functools.partial(
-        stft_ops.griffin_lim, num_iters=num_iters, **stft_params))
+        stft_ops.griffin_lim, num_iters=num_iters, momentum=momentum,
+        **stft_params))
 
   def _gl_with_init(self, magnitude: Array, rng) -> Array:
     if self._phase_init == "pghi":
@@ -194,10 +195,16 @@ class HybridGLVocoder(_StagedGriffinLim):
   def __init__(self, params, *, n_fft: int = 1024, hop_length: int = 320,
                win_length: int = 640, hidden: int = 512,
                num_iters: int = 32, mel_consistency: bool = True,
-               phase_init: str = "pghi"):
+               phase_init: str = "pghi", momentum: float = 0.9):
+    # momentum default: FGLA extrapolation improves every end-to-end
+    # metric of the trained chain on the 16-clip set (SC 0.163->0.158,
+    # SNR -4.2->-3.6 dB, results/round4/eval_vocoder_fgla*.json); the
+    # weights-free pinv chain keeps classic GL (FGLA's lower-
+    # inconsistency fixed point is slightly WORSE in SC when the target
+    # magnitude is itself inconsistent pinv output).
     self.hop_length = hop_length
     self._init_gl(dict(frame_length=win_length, frame_step=hop_length,
-                       fft_length=n_fft), num_iters, phase_init)
+                       fft_length=n_fft), num_iters, phase_init, momentum)
     self.net = MagnitudeNet(hidden=hidden, out_bins=n_fft // 2 + 1)
     self.params = params
     self._mel_consistency = mel_consistency
@@ -268,7 +275,8 @@ def load_soundstream(npz_path: str,
 
 
 def load_trained(model_dir: str, base_channels: int = 512,
-                 num_iters: int = 32, phase_init: str = "pghi"):
+                 num_iters: int = 32, phase_init: str = "pghi",
+                 momentum: float = 0.9):
   """Trained vocoder checkpoint (cli/train_vocoder.py) -> a jitted
   `[B, T, mel] log-mel -> [B, T*hop] audio` callable.
 
@@ -301,7 +309,8 @@ def load_trained(model_dir: str, base_channels: int = 512,
 
   if cfg.get("arch") == "magnitude_gl":
     return HybridGLVocoder(params, hidden=cfg.get("hidden", 512),
-                           num_iters=num_iters, phase_init=phase_init)
+                           num_iters=num_iters, phase_init=phase_init,
+                           momentum=momentum)
 
   decoder = SoundStreamDecoder(
       config=SoundStreamConfig(
@@ -329,10 +338,11 @@ class GriffinLimVocoder(_StagedGriffinLim):
   def __init__(self, *, sample_rate: int = 16000, n_fft: int = 1024,
                hop_length: int = 320, win_length: int = 640,
                n_mel_channels: int = 128, mel_fmin: float = 0.0,
-               num_iters: int = 32, phase_init: str = "pghi"):
+               num_iters: int = 32, phase_init: str = "pghi",
+               momentum: float = 0.0):
     self.hop_length = hop_length
     self._init_gl(dict(frame_length=win_length, frame_step=hop_length,
-                       fft_length=n_fft), num_iters, phase_init)
+                       fft_length=n_fft), num_iters, phase_init, momentum)
     mel_basis = stft_ops.linear_to_mel_matrix(
         num_mel_bins=n_mel_channels,
         num_spectrogram_bins=n_fft // 2 + 1,

@@ -41,6 +41,11 @@ def main():
                  help="held-out generator seed (training used its own "
                       "--seed stream; keep them disjoint)")
   p.add_argument("--griffin_lim_iters", type=int, default=32)
+  p.add_argument("--gl_momentum", type=float, default=None,
+                 help="fast-Griffin-Lim (FGLA) extrapolation factor; "
+                      "0 = classic alternating projections. Default: "
+                      "each vocoder's own default (trained chain 0.9, "
+                      "pinv chain classic)")
   p.add_argument("--phase_init", default="pghi", choices=["pghi", "zero"],
                  help="Griffin-Lim phase initializer (pghi = phase "
                       "gradient heap integration; zero = round-3 "
@@ -104,15 +109,19 @@ def main():
   import jax
   scored = jax.jit(vocoder_train.stft_loss)
 
+  mom = ({} if args.gl_momentum is None
+         else {"momentum": args.gl_momentum})
   vocoders = {"griffin_lim": vocoder.GriffinLimVocoder(
-      num_iters=args.griffin_lim_iters, phase_init=args.phase_init)}
+      num_iters=args.griffin_lim_iters, phase_init=args.phase_init,
+      **mom)}
   if args.phase_init == "pghi":
     vocoders["griffin_lim_zero"] = vocoder.GriffinLimVocoder(
-        num_iters=args.griffin_lim_iters, phase_init="zero")
+        num_iters=args.griffin_lim_iters, phase_init="zero", **mom)
   if args.checkpoint:
     vocoders["trained"] = vocoder.load_trained(
         args.checkpoint, base_channels=args.base_channels,
-        num_iters=args.griffin_lim_iters, phase_init=args.phase_init)
+        num_iters=args.griffin_lim_iters, phase_init=args.phase_init,
+        **mom)
 
   report = {"clips": len(clips), "clip_seconds": args.clip_seconds,
             "seed": args.seed, "methods": {}}

@@ -245,7 +245,8 @@ def pghi_phase(magnitude, *, frame_length: int, frame_step: int,
 def griffin_lim(magnitude: Array, *, frame_length: int, frame_step: int,
                 fft_length: int, num_iters: int = 32,
                 rng: Optional[Array] = None,
-                init_phase: Optional[Array] = None) -> Array:
+                init_phase: Optional[Array] = None,
+                momentum: float = 0.0) -> Array:
   """Griffin-Lim phase reconstruction from |STFT| (fully on device).
 
   Used as the weights-free fallback vocoder path: mel -> approximate
@@ -253,6 +254,12 @@ def griffin_lim(magnitude: Array, *, frame_length: int, frame_step: int,
   round trip inside a lax.scan. `init_phase` (e.g. from `pghi_phase`)
   overrides the zero/random start; PGHI init reaches a given quality in
   ~8x fewer iterations.
+
+  `momentum` > 0 selects the fast Griffin-Lim accelerated update (FGLA,
+  Perraudin et al. 2013): the next iterate extrapolates along the last
+  projection step, c_{n+1} = t_n + momentum * (t_n - t_{n-1}), which
+  converges to a lower-inconsistency fixed point at the same per-
+  iteration cost. 0 recovers the classic alternating projections.
   """
   n_frames = magnitude.shape[-2]
   num_samples = n_frames * frame_step
@@ -266,7 +273,8 @@ def griffin_lim(magnitude: Array, *, frame_length: int, frame_step: int,
     angles = jnp.zeros(magnitude.shape)
   stft_c = magnitude * jnp.exp(1j * angles.astype(jnp.complex64))
 
-  def body(stft_c, _):
+  def project(stft_c):
+    """One alternating-projection step: consistency, then magnitude."""
     audio = istft(stft_c, frame_length=frame_length,
                   frame_step=frame_step, fft_length=fft_length,
                   num_samples=num_samples)
@@ -274,9 +282,21 @@ def griffin_lim(magnitude: Array, *, frame_length: int, frame_step: int,
     frames = frames * jnp.asarray(hann_window(frame_length))
     reconstructed = jnp.fft.rfft(frames, n=fft_length, axis=-1)
     phase = reconstructed / jnp.maximum(jnp.abs(reconstructed), 1e-8)
-    return magnitude * phase, None
+    return magnitude * phase
 
-  stft_c, _ = jax.lax.scan(body, stft_c, None, length=num_iters)
+  if momentum:
+    def body(carry, _):
+      c, t_prev = carry
+      t = project(c)
+      return (t + momentum * (t - t_prev), t), None
+
+    (_, stft_c), _ = jax.lax.scan(
+        body, (stft_c, stft_c), None, length=num_iters)
+  else:
+    def body(stft_c, _):
+      return project(stft_c), None
+
+    stft_c, _ = jax.lax.scan(body, stft_c, None, length=num_iters)
   return istft(stft_c, frame_length=frame_length, frame_step=frame_step,
                fft_length=fft_length, num_samples=num_samples)
 
