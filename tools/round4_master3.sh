@@ -27,10 +27,10 @@ for i in $(seq 1 40); do
   latest=$(latest_step)
   if [ -n "${latest:-}" ] && [ "$latest" -ge "$TARGET" ]; then break; fi
   echo "=== teacher attempt $i (resuming from step ${latest:-0}) ==="
-  timeout 2700 python -m music_spectrogram_diffusion_tpu.cli.train \
+  timeout 1800 python -m music_spectrogram_diffusion_tpu.cli.train \
     --preset context_base --model_dir "$MODEL_DIR" --synthetic \
     --synthetic_examples 256 --steps "$TARGET" --batch 16 --remat \
-    --checkpoint_period 500 --cache_root /tmp/cache_synth
+    --checkpoint_period 1000 --cache_root /tmp/cache_synth
   sleep 5
 done
 [ "$(latest_step)" -ge "$TARGET" ] || { echo "teacher did not finish"; exit 1; }
