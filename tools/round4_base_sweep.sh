@@ -51,14 +51,21 @@ fi
 
 run_eval() {  # tag seed [extra evaluate args...]
   tag=$1; seed=$2; shift 2
-  if [ -f "$OUT/$tag/metrics.json" ]; then echo "=== skip $tag (done)"; return; fi
   # --vocode renders audio (Griffin-Lim w/ PGHI init): population FAD
-  # computes embeddings from rendered audio.
-  timeout 2700 python -m music_spectrogram_diffusion_tpu.cli.evaluate \
-    --checkpoint "$MODEL_DIR" --synthetic --seed "$seed" --songs "$SONGS" \
-    --songs_per_batch 4 --vocode --output_dir "$OUT/$tag" \
-    "${TR_FLAGS[@]}" "$@"
-  echo "=== done $tag ==="
+  # computes embeddings from rendered audio. Two attempts per cell: the
+  # first eval pays a large base-model compile and can hit the 45-min
+  # timeout or a transient tunnel error; the retry then rides the
+  # persistent compilation cache.
+  for attempt in 1 2; do
+    if [ -f "$OUT/$tag/metrics.json" ]; then echo "=== skip $tag (done)"; return; fi
+    echo "=== eval $tag attempt $attempt ==="
+    timeout 2700 python -m music_spectrogram_diffusion_tpu.cli.evaluate \
+      --checkpoint "$MODEL_DIR" --synthetic --seed "$seed" --songs "$SONGS" \
+      --songs_per_batch 4 --vocode --output_dir "$OUT/$tag" \
+      "${TR_FLAGS[@]}" "$@"
+    sleep 5
+  done
+  [ -f "$OUT/$tag/metrics.json" ] && echo "=== done $tag ===" || echo "=== FAILED $tag ==="
 }
 
 # F1 reference points (cheap — no diffusion sampling): ground-truth
