@@ -22,8 +22,63 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import os
 import sys
 import time
+
+
+def _other_chip_clients():
+  """Live processes that could be sharing the chip/host with this bench.
+
+  Round 4's official artifact was silently 8x slower because the driver
+  benched while a background training queue was still attached to the
+  tunnel. This guard makes that impossible to miss: every JSON line
+  carries a "contended" field, and the offending cmdlines go to stderr.
+  Detection only — never kills anything.
+  """
+  me = os.getpid()
+  ancestors = set()
+  pid = me
+  for _ in range(64):  # walk up to init; cycle-proof bound
+    try:
+      with open(f"/proc/{pid}/stat") as f:
+        pid = int(f.read().split(")")[-1].split()[1])  # ppid
+    except (OSError, ValueError, IndexError):
+      break
+    if pid <= 1 or pid in ancestors:
+      break
+    ancestors.add(pid)
+  hits = []
+  try:
+    pids = [p for p in os.listdir("/proc") if p.isdigit()]
+  except OSError:
+    return hits
+  for p in pids:
+    ipid = int(p)
+    if ipid == me or ipid in ancestors:
+      continue
+    try:
+      with open(f"/proc/{p}/cmdline", "rb") as f:
+        cmd = f.read().decode(errors="replace").replace("\0", " ").strip()
+    except OSError:
+      continue
+    if ("music_spectrogram_diffusion_tpu" in cmd
+        or "chip_queue" in cmd or "bench.py" in cmd):
+      hits.append({"pid": ipid, "cmd": cmd[:160]})
+  return hits
+
+
+_CONTENTION = None
+
+
+def contended():
+  global _CONTENTION
+  if _CONTENTION is None:
+    _CONTENTION = _other_chip_clients()
+    for h in _CONTENTION:
+      print(f"# WARNING chip contention: pid {h['pid']}: {h['cmd']}",
+            file=sys.stderr)
+  return bool(_CONTENTION)
 
 
 def _guidance_from_args(dops, args):
@@ -207,6 +262,7 @@ def main():
       "vs_baseline": round(rtf / baseline_rtf, 3),
       "steps": num_steps,
       "sampler": args.sampler,
+      "contended": contended(),
   }))
 
   # Secondary details on stderr so stdout stays one JSON line.
@@ -314,6 +370,7 @@ def _verify_bench(args):
       "value": float(f"{worst_rel:.3e}"),
       "unit": "relative_error",
       "vs_baseline": 1.0 if ok else 0.0,
+      "contended": contended(),
   }))
   for row in rows:
     print(f"# {row} [{platform}]", file=sys.stderr)
@@ -393,6 +450,7 @@ def _train_bench(size, args):
       "value": round(B * L_TGT / wall, 1),
       "unit": "frames_per_second",
       "vs_baseline": None,
+      "contended": contended(),
   }))
   print(f"# train size={size} batch={B} dtype={args.dtype} "
         f"step={wall*1000:.1f}ms steps/s={1/wall:.2f} "
@@ -467,6 +525,7 @@ def _typical_song_bench(size, num_steps, args):
       "value": round(rtf, 3),
       "unit": "audio_seconds_per_second",
       "vs_baseline": round(rtf, 3),
+      "contended": contended(),
   }))
   print(f"# typical songs={args.batch or 1}: "
         f"{[len(s) for s in songs]} segs x{args.repeats}, "
