@@ -62,6 +62,11 @@ def samples_from_example(audio, sample_rate: Optional[float],
     rate, samples = decode_wav(bytes(audio))
     return resample(samples, rate, target_rate)
   samples = np.asarray(audio, np.float32)
-  if sample_rate and int(sample_rate) != target_rate:
-    samples = resample(samples, int(sample_rate), target_rate)
+  # Dataset features hand sample_rate over as a size-1 array; int() on a
+  # ndim>0 array is a NumPy deprecation that becomes an error.
+  if sample_rate is not None:
+    sample_rate = int(np.asarray(sample_rate).reshape(-1)[0]) if np.size(
+        sample_rate) else 0
+  if sample_rate and sample_rate != target_rate:
+    samples = resample(samples, sample_rate, target_rate)
   return samples

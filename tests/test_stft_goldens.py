@@ -198,3 +198,34 @@ def test_fgla_momentum_beats_classic_gl():
                                      momentum=0.0, **kw))
   assert classic2 == classic
   assert fgla < classic
+
+
+def test_pghi_gradient_constants_golden():
+  """Pin the Hann-gamma-derived PGHI constants at MelGAN geometry.
+
+  The behavioural tests above tolerate a mistuned c_t (reconstruction
+  degrades gradually); this golden catches any silent change to
+  _PGHI_HANN_GAMMA or to the gradient formulas (VERDICT round-4 #8b).
+  Values: c_t = pi^2 * gamma / (a*M) with gamma = 0.25645 * W^2 at
+  W=640, a=320, M=1024; linear terms are the per-frame phase advance
+  2*pi*a*m/M and the Hann group delay -2*pi*(W/2)/M.
+  """
+  from music_spectrogram_diffusion_tpu.ops import stft as stft_ops
+
+  gamma = stft_ops._PGHI_HANN_GAMMA * 640 * 640
+  c_t = np.pi ** 2 * gamma / (320 * 1024)
+  assert abs(c_t - 3.1638250608) < 1e-6
+  assert abs((-1.0 / c_t) - (-0.3160731016)) < 1e-6
+
+  # Log-mag ramp probe: interior tgrad = c_t * d(logmag)/dm + linear
+  # phase advance; interior fgrad = -1/c_t * d(logmag)/dn + group delay.
+  lm = (0.1 * np.arange(6)[:, None]
+        + 0.01 * np.arange(5)[None, :]).astype(np.float32)[None]
+  tgrad, fgrad = stft_ops._pghi_gradients(lm, 640, 320, 1024)
+  np.testing.assert_allclose(
+      tgrad[0, 2, :],
+      [0.0, 1.9951336, 3.9586291, 5.9221244, 7.8539815], rtol=1e-5)
+  np.testing.assert_allclose(
+      fgrad[0, :, 2],
+      [-1.9634954, -1.9951026, -1.9951026, -1.9951026, -1.9951026,
+       -1.9634954], rtol=1e-5)
