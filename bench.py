@@ -148,6 +148,14 @@ def main():
                  help="measure a realistic full-song render (real token "
                       "lengths + input bucketing + segment chaining) "
                       "instead of the worst-case single segment")
+  p.add_argument("--vocode", action="store_true",
+                 help="with --typical: include mel inversion (PGHI-init "
+                      "Griffin-Lim, the default serving vocoder) in the "
+                      "measured wall — the reference reports prediction "
+                      "and audio-decode seconds separately (reference "
+                      "beam/evaluation.py:244-252,266-275); this reports "
+                      "the END-TO-END factor the >10x north star is "
+                      "about (BASELINE.md: 'including mel inversion')")
   p.add_argument("--train", action="store_true",
                  help="measure training throughput (steps/s and "
                       "target-frames/s, the reference's train metrics — "
@@ -510,18 +518,25 @@ def _typical_song_bench(size, num_steps, args):
         np.random.RandomState(si), duration=30.0, notes_per_second=8.0)
     songs.append(synthesize_midi.segment_midi(ns, task, lengths))
 
-  synth = synthesize.Synthesizer(model, params, lengths)
+  voc = None
+  if args.vocode:
+    from music_spectrogram_diffusion_tpu.audio import vocoder as voc_lib
+    voc = voc_lib.GriffinLimVocoder(num_iters=16)  # the default serving chain
+  synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)
   # Warm-up compiles all segment shapes, second run is steady state.
-  synth.render_songs(songs, rng=jax.random.PRNGKey(0), vocode=False)
+  synth.render_songs(songs, rng=jax.random.PRNGKey(0), vocode=args.vocode)
   outs = synth.render_songs(
       [[s for s in song] * args.repeats for song in songs],
-      rng=jax.random.PRNGKey(1), vocode=False)
-  # All songs share the batched prediction wall clock; aggregate
-  # per-chip serving throughput = total audio / that wall.
-  rtf = (sum(o.timings["audio_seconds"] for o in outs) /
-         outs[0].timings["prediction_seconds"])
+      rng=jax.random.PRNGKey(1), vocode=args.vocode)
+  # All songs share the batched prediction (and vocode) wall clock;
+  # aggregate per-chip serving throughput = total audio / that wall.
+  total_audio = sum(o.timings["audio_seconds"] for o in outs)
+  pred_s = outs[0].timings["prediction_seconds"]
+  decode_s = outs[0].timings["audio_decode_seconds"]
+  rtf = total_audio / (pred_s + decode_s)
   print(json.dumps({
-      "metric": "typical_song_realtime_factor",
+      "metric": ("end_to_end_realtime_factor" if args.vocode
+                 else "typical_song_realtime_factor"),
       "value": round(rtf, 3),
       "unit": "audio_seconds_per_second",
       "vs_baseline": round(rtf, 3),
@@ -530,7 +545,9 @@ def _typical_song_bench(size, num_steps, args):
   print(f"# typical songs={args.batch or 1}: "
         f"{[len(s) for s in songs]} segs x{args.repeats}, "
         f"max tokens {max(len(s) for so in songs for s in so)}, "
-        f"steps={num_steps}", file=sys.stderr)
+        f"steps={num_steps} prediction={pred_s:.2f}s "
+        f"vocode={decode_s:.2f}s audio={total_audio:.1f}s",
+        file=sys.stderr)
 
 
 def _main_with_retry():
