@@ -26,6 +26,13 @@ def main():
   p.add_argument("--preset", default="context_small",
                  help="used when no checkpoint is given (random weights)")
   p.add_argument("--synthetic", action="store_true")
+  p.add_argument("--synthetic_timbre", default="sine",
+                 choices=["sine", "rich"],
+                 help="'rich' = program-keyed harmonic stacks + noise "
+                      "transients (same seeded note streams, richer "
+                      "rendered texture)")
+  p.add_argument("--synthetic_drums", type=float, default=0.0,
+                 help="fraction of extra drum hits per song")
   p.add_argument("--dataset", default=None,
                  help="dataset config name (e.g. maestrov3); requires "
                       "TFRecord files reachable via --data_root")
@@ -153,7 +160,9 @@ def main():
   if args.synthetic:
     task = tasks.Task(
         name="eval", source_fn=lambda: synthetic.synthetic_source(
-            args.songs, duration=10.0, seed=args.seed),
+            args.songs, duration=10.0, seed=args.seed,
+            timbre=args.synthetic_timbre,
+            drum_fraction=args.synthetic_drums),
         audio_codec=model.audio_codec,
         vocab_config=experiment.vocab_config(),
         note_rep=experiment.note_rep(),

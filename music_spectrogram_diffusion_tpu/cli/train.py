@@ -27,6 +27,14 @@ def main():
                  help="train on the generated sine dataset")
   p.add_argument("--synthetic_examples", type=int, default=64,
                  help="synthetic dataset size (--synthetic only)")
+  p.add_argument("--synthetic_timbre", default="sine",
+                 choices=["sine", "rich"],
+                 help="'rich' = program-keyed harmonic stacks + noise "
+                      "transients + drums instead of pure sines (quality "
+                      "metrics stop being pure-tone artifacts)")
+  p.add_argument("--synthetic_drums", type=float, default=0.0,
+                 help="fraction of extra drum hits per song (rich render "
+                      "gives them noise-burst timbre)")
   p.add_argument("--dataset", default="maestrov3",
                  help="dataset config name, or 'mega' for the full "
                       "example-proportional mixture (requires TFRecords)")
@@ -133,6 +141,8 @@ def main():
         with_context=experiment.with_context,
         program_granularity=experiment.program_granularity,
         num_examples=args.synthetic_examples,
+        timbre=args.synthetic_timbre,
+        drum_fraction=args.synthetic_drums,
         cache_root=args.cache_root)
     ds = task.model_dataset(lengths, training=True, seed=args.seed,
                             shuffle_buffer_size=args.shuffle_buffer,
@@ -207,6 +217,8 @@ def main():
           program_granularity=experiment.program_granularity,
           num_examples=max(args.synthetic_examples // 8, 8),
           seed=1000,  # disjoint from the training generator
+          timbre=args.synthetic_timbre,
+          drum_fraction=args.synthetic_drums,
           cache_root=args.cache_root)
     elif args.dataset != "mega":
       from music_spectrogram_diffusion_tpu.data import datasets

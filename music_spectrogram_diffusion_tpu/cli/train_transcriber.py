@@ -181,8 +181,11 @@ def main():
     return loss, acc
 
   warmup = min(args.warmup_steps, max(args.steps // 2, 1))
+  # decay_steps must exceed warmup (a --steps 1 run, used to mint
+  # near-random reference weights for the F1 sanity floor, hit
+  # decay_steps=0 inside optax otherwise).
   lr = optax.warmup_cosine_decay_schedule(
-      0.0, args.learning_rate, warmup, args.steps)
+      0.0, args.learning_rate, warmup, max(args.steps, warmup + 1))
   tx = optax.adamw(lr, weight_decay=1e-4)
 
   params = module.init(

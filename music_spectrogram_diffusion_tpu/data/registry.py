@@ -106,6 +106,8 @@ def synthetic_cached_task(prefix: str, *,
                           num_examples: int,
                           duration: float = 12.0,
                           seed: int = 0,
+                          timbre: str = "sine",
+                          drum_fraction: float = 0.0,
                           cache_root: Optional[str] = None
                           ) -> tasks.Task:
   """Synthetic-source Task whose name (= cache key) encodes everything
@@ -126,12 +128,17 @@ def synthetic_cached_task(prefix: str, *,
     sig.append(program_granularity)
   if duration != 12.0:
     sig.append(f"{duration:g}s")
+  if timbre != "sine":
+    sig.append(timbre)
+  if drum_fraction:
+    sig.append(f"dr{drum_fraction:g}")
   name = "_".join(sig)
   task = tasks.Task(
       name=name,
       source_fn=functools.partial(synthetic.synthetic_source,
                                   num_examples, duration=duration,
-                                  seed=seed),
+                                  seed=seed, timbre=timbre,
+                                  drum_fraction=drum_fraction),
       audio_codec=audio_codec,
       vocab_config=vocab_config,
       note_rep=note_rep,

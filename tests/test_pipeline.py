@@ -153,3 +153,59 @@ def test_shuffle_reshuffles_each_epoch():
   assert e1 != e2
   # Same epoch re-iterates identically.
   assert e1 == [int(e["x"]) for e in shuffled.epoch(0)]
+
+
+def test_rich_timbre_render():
+  """timbre='rich' keeps the note stream fixed and only changes texture.
+
+  The seeded held-out sets regenerate exactly at the default
+  (timbre='sine', drum_fraction=0), so committed FAD/F1 numbers stay
+  reproducible; the rich render must score the SAME songs.
+  """
+  import numpy as np
+
+  rng = np.random.RandomState(7)
+  ns = synthetic.random_note_sequence(rng, duration=4.0)
+  sine = synthetic.render_note_sequence(ns, 16000, duration=4.0)
+  rich = synthetic.render_note_sequence(ns, 16000, duration=4.0,
+                                        timbre="rich")
+  assert sine.shape == rich.shape
+  assert np.all(np.isfinite(rich))
+  assert np.abs(rich).max() <= 1.0
+  assert np.abs(rich).max() > 0.01            # audible
+  assert not np.allclose(sine, rich)          # actually different texture
+  # Same note stream across timbres: the source keys only on the seed.
+  ds_sine = list(synthetic.synthetic_source(2, duration=4.0, seed=5))
+  ds_rich = list(synthetic.synthetic_source(2, duration=4.0, seed=5,
+                                            timbre="rich"))
+  for a, b in zip(ds_sine, ds_rich):
+    assert a["id"] == b["id"]
+    na, nb = a["sequence"].notes, b["sequence"].notes
+    assert [(n.pitch, n.start_time) for n in na] == \
+           [(n.pitch, n.start_time) for n in nb]
+  # Per-program determinism: same program renders identically.
+  ns2 = synthetic.random_note_sequence(np.random.RandomState(7),
+                                       duration=4.0)
+  rich2 = synthetic.render_note_sequence(ns2, 16000, duration=4.0,
+                                         timbre="rich")
+  np.testing.assert_array_equal(rich, rich2)
+
+
+def test_drum_fraction_adds_drums():
+  import numpy as np
+
+  rng = np.random.RandomState(3)
+  ns = synthetic.random_note_sequence(rng, duration=4.0,
+                                      drum_fraction=0.5)
+  drums = [n for n in ns.notes if n.is_drum]
+  assert len(drums) >= 2
+  audio = synthetic.render_note_sequence(ns, 16000, duration=4.0,
+                                         timbre="rich")
+  assert np.all(np.isfinite(audio))
+  # drum_fraction=0 must stay bit-identical to the historical stream.
+  ns0 = synthetic.random_note_sequence(np.random.RandomState(3),
+                                       duration=4.0)
+  ns1 = synthetic.random_note_sequence(np.random.RandomState(3),
+                                       duration=4.0, drum_fraction=0.0)
+  assert [(n.pitch, n.start_time) for n in ns0.notes] == \
+         [(n.pitch, n.start_time) for n in ns1.notes]
