@@ -29,11 +29,18 @@ def main():
   p = argparse.ArgumentParser(description=__doc__)
   p.add_argument("--shards", nargs="+", required=True,
                  help="per-shard --output_dir paths")
-  p.add_argument("--output", required=True, help="merged metrics JSON")
+  p.add_argument("--output", required=True,
+                 help="merged metrics JSON (a directory means "
+                      "<dir>/metrics.json, matching a cell layout)")
   p.add_argument("--bootstrap", type=int, default=200)
   args = p.parse_args()
 
+  import os
+
   from music_spectrogram_diffusion_tpu.infer import evaluation
+
+  if os.path.isdir(args.output):
+    args.output = os.path.join(args.output, "metrics.json")
 
   merged = evaluation.merge_shard_outputs(args.shards,
                                           bootstrap=args.bootstrap)
