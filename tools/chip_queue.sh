@@ -172,30 +172,111 @@ job_sharded_merge_proof() {
 }
 
 job_gan_vocoder() {
-  # Budget guard: only start/continue the GAN if the sweep is done.
+  # Budget guard: the GAN is the lowest-priority payload (VERDICT #4 —
+  # "with remaining chip time only"), so its training is bounded by a
+  # wall-clock deadline (GAN_DEADLINE, epoch secs) instead of a step
+  # count: chunks stop when the deadline nears, and the A/B eval always
+  # runs on whatever checkpoint exists so the round ends with a
+  # committed eval_vocoder_gan*.json either way.
   quiesce_check
   RECON_STEPS=${RECON_STEPS:-6000}
   ADV_STEPS=${ADV_STEPS:-16000}
-  train_chunked "$GAN_DIR" "$RECON_STEPS" 6 \
-    python -m music_spectrogram_diffusion_tpu.cli.train_vocoder \
-      --model_dir "$GAN_DIR" --synthetic --arch soundstream \
-      --steps "$RECON_STEPS" --batch 16 --waveform_weight 0 \
-      --checkpoint_period 1000 --log_period 200 --resume \
-    || { echo "WARN: GAN recon phase incomplete"; return; }
-  train_chunked "$GAN_DIR" "$ADV_STEPS" 12 \
-    python -m music_spectrogram_diffusion_tpu.cli.train_vocoder \
-      --model_dir "$GAN_DIR" --synthetic --arch soundstream \
-      --adversarial --resume --steps "$ADV_STEPS" --batch 16 \
-      --waveform_weight 0 --checkpoint_period 1000 --log_period 200 \
-    || { echo "WARN: GAN adversarial phase incomplete"; return; }
+  GAN_DEADLINE=${GAN_DEADLINE:-0}
+
+  gan_time_left() {
+    if [ "$GAN_DEADLINE" -gt 0 ]; then
+      echo $(( GAN_DEADLINE - $(date +%s) ))
+    else
+      echo 99999
+    fi
+  }
+
+  gan_chunked() {  # target [extra train_vocoder flags...]
+    local target=$1; shift
+    for i in $(seq 1 20); do
+      quiesce_check
+      local left; left=$(gan_time_left)
+      if [ "$left" -lt 600 ]; then
+        echo "=== GAN deadline reached (left=${left}s) ==="; return 1
+      fi
+      local latest; latest=$(latest_step "$GAN_DIR")
+      if [ -n "${latest:-}" ] && [ "$latest" -ge "$target" ]; then return 0; fi
+      local t=$(( left - 300 )); [ "$t" -gt 2700 ] && t=2700
+      echo "=== GAN chunk (step ${latest:-0}/$target, timeout ${t}s) ==="
+      timeout "$t" python -m music_spectrogram_diffusion_tpu.cli.train_vocoder \
+        --model_dir "$GAN_DIR" --synthetic --arch soundstream \
+        --steps "$target" --batch 16 --waveform_weight 0 \
+        --checkpoint_period 500 --log_period 200 --resume "$@"
+      sleep 5
+    done
+    return 1
+  }
+
+  gan_eval() {  # output_json
+    quiesce_check
+    ls "$GAN_DIR"/step_* >/dev/null 2>&1 || { echo "no GAN ckpt; skip eval"; return; }
+    [ -f "$1" ] && { echo "=== skip $(basename "$1") (done)"; return; }
+    timeout 1800 python -m music_spectrogram_diffusion_tpu.cli.eval_vocoder \
+      --checkpoint "$GAN_DIR" --synthetic --clips 16 --seed 1000 \
+      --output "$1"
+  }
+
+  local recon_done=0
+  gan_chunked "$RECON_STEPS" && recon_done=1 \
+    || echo "WARN: GAN recon phase incomplete"
+  # A/B the recon-only decoder first, so a diverging adversarial phase
+  # can't leave the round with zero GAN artifacts.
+  gan_eval /root/repo/results/round5/eval_vocoder_gan_recon.json
+  if [ "$recon_done" = 1 ]; then
+    gan_chunked "$ADV_STEPS" --adversarial \
+      || echo "WARN: GAN adversarial phase incomplete"
+    gan_eval /root/repo/results/round5/eval_vocoder_gan.json
+  fi
+}
+
+job_rescore() {
+  # VERDICT #3: after extending the transcriber, recompute every cell's
+  # F1 columns from the saved prediction WAVs (the expensive diffusion
+  # sampling is NOT redone). Seed groups must match each cell's source
+  # seed (the synthetic songs themselves key on it). gt_raw_tr_random is
+  # excluded (its weights are the point); the sharded dirs are excluded
+  # (they are the merge-proof, not F1 cells).
+  ls "$TRANSCRIBER"/step_* >/dev/null 2>&1 || { echo "no transcriber; skip rescore"; return; }
+  local s1000=() s2000=()
+  local d
+  for d in "$OUT"/*/; do
+    d=${d%/}
+    [ -f "$d/metrics.json" ] || continue
+    case "$(basename "$d")" in
+      *tr_random*|*sharded*|*_rich*) continue;;
+      *seed2000*) s2000+=("$d");;
+      *) s1000+=("$d");;
+    esac
+  done
   quiesce_check
-  timeout 1800 python -m music_spectrogram_diffusion_tpu.cli.eval_vocoder \
-    --checkpoint "$GAN_DIR" --synthetic --clips 16 --seed 1000 \
-    --output /root/repo/results/round5/eval_vocoder_gan.json
+  [ ${#s1000[@]} -gt 0 ] && timeout 3600 python tools/rescore_f1.py \
+      --transcriber_checkpoint "$TRANSCRIBER" --songs "$SONGS" \
+      --seed 1000 "${s1000[@]}"
+  quiesce_check
+  [ ${#s2000[@]} -gt 0 ] && timeout 3600 python tools/rescore_f1.py \
+      --transcriber_checkpoint "$TRANSCRIBER" --songs "$SONGS" \
+      --seed 2000 "${s2000[@]}"
+}
+
+job_rich_pair() {
+  # VERDICT round-4 #7: protocol-ordering stability on the rich-timbre
+  # render. Same seeded note streams as the committed sine cells; the
+  # FAD target is the rich ground truth of the same songs. FAD-only:
+  # the transcriber is sine-trained, so F1 on rich audio would be
+  # meaningless and transcription is skipped.
+  TR_FLAGS=()
+  run_eval "gt_encoded_rich"     1000 --prediction_source gt_encoded --synthetic_timbre rich
+  run_eval "ddpm1000_iv18_rich"  1000 --sampler ddpm --steps 1000 --guidance_interval 0.1,0.8 --synthetic_timbre rich
+  run_eval "sdedpm100_iv18_rich" 1000 --sampler sde-dpm++ --steps 100 --guidance_interval 0.1,0.8 --synthetic_timbre rich
 }
 
 # ------------------------------------------------------------- sequence --
-JOBS=${JOBS:-"teacher transcriber f1_sanity sweep sharded_merge_proof gan_vocoder"}
+JOBS=${JOBS:-"teacher transcriber f1_sanity sweep sharded_merge_proof rescore rich_pair gan_vocoder"}
 for job in $JOBS; do
   quiesce_check
   echo "=== JOB $job ==="
