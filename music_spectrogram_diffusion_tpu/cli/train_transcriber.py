@@ -1,8 +1,11 @@
 """Train a small in-repo MT3 transcriber (audio -> note events).
 
   python -m music_spectrogram_diffusion_tpu.cli.train_transcriber \
-      --model_dir /tmp/transcriber --synthetic_examples 256 \
-      --steps 2000 --batch 32
+      --model_dir /tmp/transcriber --steps 16000 --batch 32
+
+The default --synthetic_examples 4096 is the validated recipe: 256
+songs memorize (train acc 1.0, eval token acc 0.22); 4096 songs reach
+eval token acc ~0.5 at 16k steps (round-5 run of record).
 
 The reference's third metric family scores synthesis by transcribing
 rendered audio with MT3 and computing note-onset F1 (reference
