@@ -521,7 +521,14 @@ def _typical_song_bench(size, num_steps, args):
   voc = None
   if args.vocode:
     from music_spectrogram_diffusion_tpu.audio import vocoder as voc_lib
-    voc = voc_lib.GriffinLimVocoder(num_iters=16)  # the default serving chain
+    # The shipped serving chain: trained MagnitudeNet + PGHI + FGLA
+    # (checkpoint committed in-repo); pinv+PGHI Griffin-Lim when absent.
+    _ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "results", "round3", "vocoder_ckpt")
+    try:
+      voc = voc_lib.load_trained(_ckpt, num_iters=16)
+    except (FileNotFoundError, OSError):
+      voc = voc_lib.GriffinLimVocoder(num_iters=16)
   synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)
   # Warm-up compiles all segment shapes, second run is steady state.
   synth.render_songs(songs, rng=jax.random.PRNGKey(0), vocode=args.vocode)
