@@ -26,6 +26,13 @@ import os
 import sys
 import time
 
+# Persistent XLA compile cache: cuts bench init from minutes to seconds
+# when the kernels were compiled by any earlier run (training queue,
+# previous bench). Steady-state timings are unaffected — they are
+# measured after warm-up.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
 
 def _other_chip_clients():
   """Live processes that could be sharing the chip/host with this bench.
