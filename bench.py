@@ -537,11 +537,14 @@ def _typical_song_bench(size, num_steps, args):
     except (FileNotFoundError, OSError):
       voc = voc_lib.GriffinLimVocoder(num_iters=16)
   synth = synthesize.Synthesizer(model, params, lengths, vocoder=voc)
-  # Warm-up compiles all segment shapes, second run is steady state.
-  synth.render_songs(songs, rng=jax.random.PRNGKey(0), vocode=args.vocode)
+  # Warm-up compiles all shapes the timed render will hit — including
+  # the whole-song mel the vocoder consumes, whose time axis scales
+  # with segment count — so it must use the same x`repeats` songs.
+  timed_songs = [[s for s in song] * args.repeats for song in songs]
+  synth.render_songs(timed_songs, rng=jax.random.PRNGKey(0),
+                     vocode=args.vocode)
   outs = synth.render_songs(
-      [[s for s in song] * args.repeats for song in songs],
-      rng=jax.random.PRNGKey(1), vocode=args.vocode)
+      timed_songs, rng=jax.random.PRNGKey(1), vocode=args.vocode)
   # All songs share the batched prediction (and vocode) wall clock;
   # aggregate per-chip serving throughput = total audio / that wall.
   total_audio = sum(o.timings["audio_seconds"] for o in outs)

@@ -27,6 +27,11 @@ def main():
                  help="train on the generated sine dataset")
   p.add_argument("--synthetic_examples", type=int, default=64,
                  help="synthetic dataset size (--synthetic only)")
+  p.add_argument("--synthetic_seed", type=int, default=0,
+                 help="base seed of the synthetic song generator; songs "
+                      "are seeds [base, base+N). Keep the training range "
+                      "disjoint from eval's --seed (default 1000) when "
+                      "N > 1000, e.g. --synthetic_seed 20000")
   p.add_argument("--synthetic_timbre", default="sine",
                  choices=["sine", "rich"],
                  help="'rich' = program-keyed harmonic stacks + noise "
@@ -141,6 +146,7 @@ def main():
         with_context=experiment.with_context,
         program_granularity=experiment.program_granularity,
         num_examples=args.synthetic_examples,
+        seed=args.synthetic_seed,
         timbre=args.synthetic_timbre,
         drum_fraction=args.synthetic_drums,
         cache_root=args.cache_root)
